@@ -1,0 +1,254 @@
+"""Confidence-threshold calibration by scoring model-emitted reads.
+
+Re-implements ``estimateQthreshold`` (``calibrateQ.c:17-235``): when ``-Q``
+is not given, simulate ``num_test`` reads — half sampled generatively from
+the architecture HMM itself (``emit_read_sequence``,
+``barcode_hmm.c:2696-3046``; with the null-N barcode prior zeroed first,
+``calibrateQ.c:70-86``), half from the background random model
+(``emit_random_sequence``, ``barcode_hmm.c:2599-2680``) — score all of them
+with the engine, sort by Q and sweep for the threshold maximising
+sensitivity+specificity (also computing FDR and Cohen's-kappa thresholds),
+capped at 20 (``calibrateQ.c:150-212``).
+
+Reference quirks reproduced:
+* calibration force-sets the sequencer error rate to 0.05 and leaves it set
+  (``calibrateQ.c:65``, ``:117``) — subsequent model builds in the same run
+  therefore always use e=0.05;
+* each ``emit_*_sequence`` call burns one rand() on entry, and the rejection
+  loops reuse the last draw exactly as the C code does;
+* the mapq sort is stable (glibc qsort is mergesort), matching the sweep's
+  tie behaviour.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from .constants import DD, DM, II, IM, ISKIP, MD, MI, MM, MSKIP
+from .logsum import NEG_INF, logsum, p2sp, sp2p
+from .model import ModelBag, init_model_bag
+from .rng import CRand
+
+_F32 = np.float32
+
+
+@dataclass
+class EmittedRead:
+    seq: np.ndarray
+    read_type: int  # 0 = from model, 1 = random
+    mapq: float = 0.0
+
+
+def emit_random_sequence(mb: ModelBag, rng: CRand, average_length: int) -> np.ndarray:
+    """barcode_hmm.c:2599-2680 (draw-for-draw identical)."""
+    bg = mb.models[0].background
+    r = float(rng.randf())
+    seq: List[int] = []
+    cont = 1.0 - (1.0 / float(_F32(average_length)))
+    while len(seq) < average_length:
+        while True:
+            s = NEG_INF
+            for nuc in range(5):
+                s = logsum(s, bg[nuc])
+                if r < float(sp2p(s)):
+                    seq.append(nuc)
+                    break
+            r = float(rng.randf())
+            if r > cont:
+                break
+        if len(seq) < average_length:
+            seq.clear()
+    return np.array(seq, dtype=np.uint8)
+
+
+def emit_read_sequence(mb: ModelBag, rng: CRand, average_length: int) -> np.ndarray:
+    """barcode_hmm.c:2696-3046 (draw-for-draw identical)."""
+    rng.randf()  # entry draw, value unused (:2721)
+    seq: List[int] = []
+    nm = mb.num_models
+    while len(seq) < average_length:
+        state = 0
+        column = 0
+        hmm = 0
+        segment = 0
+        while True:
+            r = float(rng.randf())
+            if state == 0:
+                m = mb.models[segment]
+                ln = m.num_cols
+                s = NEG_INF
+                done = False
+                for i in range(m.num_hmms):
+                    for j in range(ln):
+                        s = logsum(s, m.silent_to_M[i, j])
+                        if r < float(sp2p(s)):
+                            state, column, hmm = 1, j, i
+                            done = True
+                            break
+                        s = logsum(s, m.silent_to_I[i, j])
+                        if r < float(sp2p(s)):
+                            state, column, hmm = 2, j, i
+                            done = True
+                            break
+                    if done:
+                        break
+            elif state == 1:
+                tr = mb.models[segment].trans[hmm, column]
+                s = logsum(NEG_INF, tr[MM])
+                if r < float(sp2p(s)):
+                    state = 1
+                    column += 1
+                else:
+                    s = logsum(s, tr[MI])
+                    if r < float(sp2p(s)):
+                        state = 2
+                    else:
+                        s = logsum(s, tr[MD])
+                        if r < float(sp2p(s)):
+                            state = 3
+                            column += 1
+                        else:
+                            state = 0
+                            segment += 1
+                            column = 0
+                            hmm = 0
+            elif state == 2:
+                tr = mb.models[segment].trans[hmm, column]
+                s = logsum(NEG_INF, tr[II])
+                if r < float(sp2p(s)):
+                    state = 2
+                else:
+                    s = logsum(s, tr[IM])
+                    if r < float(sp2p(s)):
+                        state = 1
+                        column += 1
+                    else:
+                        state = 0
+                        segment += 1
+                        column = 0
+                        hmm = 0
+            elif state == 3:
+                tr = mb.models[segment].trans[hmm, column]
+                s = logsum(NEG_INF, tr[DD])
+                if r < float(sp2p(s)):
+                    state = 3
+                    column += 1
+                else:
+                    state = 1
+                    column += 1
+
+            # emission draw happens every iteration (:2939)
+            r = float(rng.randf())
+            if state == 1:
+                em = mb.models[segment].m_emit[hmm, column]
+                s = NEG_INF
+                for nuc in range(5):
+                    s = logsum(s, em[nuc])
+                    if r < float(sp2p(s)):
+                        seq.append(nuc)
+                        break
+            elif state == 2:
+                em = mb.models[segment].i_emit[hmm, column]
+                s = NEG_INF
+                for nuc in range(5):
+                    s = logsum(s, em[nuc])
+                    if r < float(sp2p(s)):
+                        seq.append(nuc)
+                        break
+            if segment == nm:
+                break
+        if len(seq) < average_length:
+            seq.clear()
+    return np.array(seq, dtype=np.uint8)
+
+
+def estimate_q_threshold(param, rs, ssi, run_get_prob) -> float:
+    """Full calibration; ``run_get_prob(mb, seqs_list) -> mapq array``.
+
+    Mutates ``param.sequencer_error_rate`` to 0.05 (reference behaviour) and
+    possibly ``ssi.max_seq_len``.  Returns the chosen threshold.
+    """
+    rng = CRand()
+    seed = param.seed if param.seed else int(time.time() * 42) & 0xFFFFFFFF
+    rng.srand(seed)
+
+    num_test = 4000 if param.rtest else 400000
+    binsize = num_test // 4
+
+    param.sequencer_error_rate = float(_F32(0.05))  # calibrateQ.c:65
+    mb = init_model_bag(rs, ssi, param.sequencer_error_rate, param.indel_frequency)
+
+    # zero the null-N prior for B and S segments (calibrateQ.c:70-86)
+    for i, m in enumerate(mb.models):
+        if rs.types[i] in ("B", "S"):
+            for j in range(m.num_hmms - 1):
+                m.silent_to_M[j, 0] = p2sp(1.0 / float(_F32(m.num_hmms - 1)))
+            m.silent_to_M[m.num_hmms - 1, 0] = NEG_INF
+
+    avg_len = int(ssi.average_length)
+    reads: List[EmittedRead] = []
+    for _ in range(binsize * 2):
+        reads.append(EmittedRead(emit_read_sequence(mb, rng, avg_len), 0))
+    for _ in range(binsize * 2):
+        reads.append(EmittedRead(emit_random_sequence(mb, rng, avg_len), 1))
+        if len(reads) == num_test:
+            break
+
+    TP = FP = 0.0
+    TN = float(sum(1 for r in reads if r.read_type == 1))
+    FN = float(sum(1 for r in reads if r.read_type == 0))
+
+    # rebuild a clean model; grow if emitted sequences exceed max_seq_len
+    # (calibrateQ.c:115-134)
+    grow = False
+    for r in reads:
+        if len(r.seq) >= ssi.max_seq_len:
+            ssi.max_seq_len = len(r.seq)
+            grow = True
+    mb = init_model_bag(rs, ssi, param.sequencer_error_rate, param.indel_frequency)
+    del grow  # the rebuild above already uses the updated max_seq_len
+
+    mapq = run_get_prob(mb, [r.seq for r in reads])
+    for r, q in zip(reads, mapq):
+        r.mapq = float(q)
+
+    order = np.argsort(-np.asarray([r.mapq for r in reads]), kind="stable")
+
+    readnum = len(reads)
+    thres = [1000.0, 1000.0, 1000.0, 0.0, 1000.0, 1000.0]
+    kappa = 0.0
+    for idx in order:
+        r = reads[int(idx)]
+        if r.read_type:
+            FP += 1.0
+            TN -= 1.0
+        else:
+            TP += 1.0
+            FN -= 1.0
+        sensitivity = TP / (TP + FN) if (TP + FN) else 0.0
+        specificity = TN / (TN + FP) if (TN + FP) else 0.0
+        if FP / (FP + TP) < 0.01:
+            thres[0] = r.mapq
+        elif FP / (FP + TP) < 0.05:
+            thres[1] = r.mapq
+        elif FP / (FP + TP) < 0.1:
+            thres[2] = r.mapq
+        if sensitivity + specificity > thres[3]:
+            thres[3] = specificity + sensitivity
+            thres[4] = r.mapq
+        P_e = ((TP + FN) / readnum) * ((TP + FP) / readnum) + (
+            ((FP + TN) / readnum) * ((FN + TN) / readnum)
+        )
+        P_o = (TP + TN) / readnum
+        tmp = (P_o - P_e) / (1.0 - P_e)
+        if tmp > kappa:
+            kappa = tmp
+            thres[5] = r.mapq
+
+    if thres[4] < 20:
+        return float(_F32(thres[4]))
+    return 20.0

@@ -1,0 +1,273 @@
+"""Multi-file demultiplexing orchestrator.
+
+Re-implements ``hmm_controller_multiple`` (``barcode_hmm.c:51-460``):
+per-file architecture resolution (CLI arch for file 0, ``-arch``
+auto-detection or the default ``R:N`` otherwise), the barcode-in-one-file
+check, output-overwrite refusal, per-file stats + threshold calibration +
+model build, the chunked streaming loop with cross-file count/name
+consistency checks, per-file engine dispatch (pure ``R:N`` -> filter-only),
+outcome merging (max across files; barcode propagated to file 0), writing,
+and the end-of-run outcome accounting / human-readable summary
+(``barcode_hmm.c:354-433``).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .arch import (
+    ReadStructure,
+    build_read_structure,
+    qc_read_structure,
+    read_structure_from_params,
+)
+from .calibrate import estimate_q_threshold
+from .constants import (
+    EXTRACT_FAIL_ARCHITECTURE_MISMATCH,
+    EXTRACT_FAIL_BAR_FINGER_NOT_FOUND,
+    EXTRACT_FAIL_LOW_COMPLEXITY,
+    EXTRACT_FAIL_MATCHES_ARTIFACTS,
+    EXTRACT_FAIL_READ_TOO_SHORT,
+    EXTRACT_SUCCESS,
+)
+from .detect import test_architectures
+from .engine.runner import run_get_label, run_get_prob, run_rna_dust
+from .io.fastq import SeqReader, read_fasta_contaminants
+from .io.writer import DemuxWriter, existing_output_files
+from .model import init_model_bag
+from .namecheck import compare_read_names
+from .stats import get_sequence_stats
+
+
+class MessageLog:
+    """append_message (misc.c:285-335): timestamped lines, echoed to stderr,
+    flushed to <out>_logfile.txt at teardown (interface.c:709-726)."""
+
+    def __init__(self):
+        self.messages: List[str] = []
+
+    def __call__(self, msg: str) -> None:
+        stamp = time.strftime("[%Y-%m-%d %H:%M:%S]\t")
+        sys.stderr.write(stamp + msg)
+        self.messages.append(stamp + msg)
+
+    def flush(self, outfile: Optional[str]) -> None:
+        if outfile:
+            with open(f"{outfile}_logfile.txt", "w") as fh:
+                fh.write("".join(self.messages) + "\n")
+
+
+def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
+    log = log or MessageLog()
+    nfiles = param.infiles
+
+    cli_rs = read_structure_from_params(param.segments)
+
+    read_structures: List[ReadStructure] = []
+    for i in range(nfiles):
+        if i == 0 and cli_rs.num_segments:
+            rs = cli_rs
+        elif param.arch_file:
+            rs = test_architectures(param, i, log=log)
+        else:
+            rs = build_read_structure(["R:N"])
+            qc_read_structure(rs)
+        read_structures.append(rs)
+
+    barcode_present = 0
+    read_present = [0] * nfiles
+    for i, rs in enumerate(read_structures):
+        for j in range(rs.num_segments):
+            if rs.types[j] == "B":
+                barcode_present |= 1 << i
+            if rs.types[j] == "R":
+                read_present[i] += 1
+
+    if bin(barcode_present).count("1") > 1:
+        log("Barcodes seem to be in both architectures... \n")
+        log.flush(param.outfile)
+        raise SystemExit(1)
+
+    num_out_reads = sum(read_present)
+    for i in range(nfiles):
+        if barcode_present & (1 << i):
+            found = existing_output_files(
+                param.outfile, read_structures[i], num_out_reads, param.multiread
+            )
+            if found:
+                log.flush(param.outfile)
+                raise SystemExit("Error: some output files already exists.\n")
+
+    param.num_query = 1000 if param.rtest else 1000001
+
+    stats = []
+    for i in range(nfiles):
+        stats.append(
+            get_sequence_stats(
+                param.infile[i],
+                read_structures[i],
+                param.num_query,
+                param.matchstart,
+                param.matchend,
+            )
+        )
+
+    thresholds = [0.0] * nfiles
+    if not param.confidence_threshold:
+        for i in range(nfiles):
+            log(f"Determining threshold for read{i}.\n")
+            thresholds[i] = estimate_q_threshold(
+                param, read_structures[i], stats[i], run_get_prob
+            )
+            log(f"Selected Threshold:: {thresholds[i]:f}\n")
+    # NOTE: with -Q given the reference leaves confidence_thresholds[] at 0.0
+    # and uses those per-file values (barcode_hmm.c:102, :314) — replicated.
+
+    model_bags = [
+        init_model_bag(
+            read_structures[i], stats[i], param.sequencer_error_rate, param.indel_frequency
+        )
+        for i in range(nfiles)
+    ]
+
+    contaminants = None
+    contaminant_names = None
+    if param.reference_fasta:
+        contaminant_names, contaminants = read_fasta_contaminants(param.reference_fasta)
+    mer_hash = [0] * (len(contaminants) if contaminants else 0)
+
+    readers = [SeqReader(param.infile[i]) for i in range(nfiles)]
+
+    counters = {
+        "total": 0,
+        "success": 0,
+        "bar_finger": 0,
+        "too_short": 0,
+        "arch_mismatch": 0,
+        "artifact": 0,
+        "low_complexity": 0,
+    }
+
+    writer: Optional[DemuxWriter] = None
+    # read_structure used by the writer: the barcoded file's, else the last
+    # file's (barcode_hmm.c:312-340)
+    writer_rs = read_structures[-1]
+    for i in range(nfiles):
+        if barcode_present & (1 << i):
+            writer_rs = read_structures[i]
+            break
+
+    first_batch = True
+    while True:
+        chunks = [readers[i].read_chunk(param.num_query) for i in range(nfiles)]
+        if sum(len(c) for c in chunks) == 0:
+            break
+        numseqs = [len(c) for c in chunks]
+        for i in range(nfiles - 1):
+            for j in range(i + 1, nfiles):
+                if numseqs[i] != numseqs[j]:
+                    log(
+                        f"Input File:{param.infile[i]} and {param.infile[j]} "
+                        "differ in number of entries.\n"
+                    )
+                    log.flush(param.outfile)
+                    raise SystemExit(1)
+        if first_batch:
+            checker = compare_read_names
+            for i in range(nfiles - 1):
+                for j in range(i + 1, nfiles):
+                    for c in range(min(1000, numseqs[0])):
+                        if checker(chunks[i][c].name, chunks[j][c].name, log):
+                            log(
+                                "Files seem to contain reads in different "
+                                f"order:\n{chunks[i][c].name}\n{chunks[j][c].name}\n"
+                            )
+                            log.flush(param.outfile)
+                            raise SystemExit(1)
+
+        # model realloc on longer reads only grows DP scratch (the compiled
+        # parameters do not depend on max_seq_len), so nothing to do here
+        for i in range(nfiles):
+            for r in chunks[i]:
+                if r.len >= stats[i].max_seq_len:
+                    stats[i].max_seq_len = r.len
+
+        for i in range(nfiles):
+            rs = read_structures[i]
+            if rs.is_pure_R():
+                run_rna_dust(chunks[i], param, contaminants)
+            else:
+                run_get_label(
+                    model_bags[i], rs, chunks[i], param, thresholds[i], contaminants
+                )
+
+        # propagate barcode from the barcoded file to file 0
+        for i in range(nfiles):
+            if barcode_present & (1 << i):
+                if i:
+                    for j in range(numseqs[0]):
+                        chunks[0][j].barcode = chunks[i][j].barcode
+                break
+
+        for i in range(numseqs[0]):
+            c = max(chunks[j][i].read_type for j in range(nfiles))
+            chunks[0][i].read_type = c
+
+        if writer is None:
+            writer = DemuxWriter(
+                param.outfile, writer_rs, read_present, param.print_seq_finger
+            )
+        writer.write_batch(chunks, numseqs[0])
+        first_batch = False
+
+        counters["total"] += numseqs[0]
+        for i in range(numseqs[0]):
+            rt = int(chunks[0][i].read_type)
+            if rt == EXTRACT_SUCCESS:
+                counters["success"] += 1
+            elif rt == EXTRACT_FAIL_BAR_FINGER_NOT_FOUND:
+                counters["bar_finger"] += 1
+            elif rt == EXTRACT_FAIL_READ_TOO_SHORT:
+                counters["too_short"] += 1
+            elif rt == EXTRACT_FAIL_ARCHITECTURE_MISMATCH:
+                counters["arch_mismatch"] += 1
+            elif rt == EXTRACT_FAIL_MATCHES_ARTIFACTS:
+                # reference case fallthrough (barcode_hmm.c:373-377)
+                counters["artifact"] += 1
+                counters["low_complexity"] += 1
+            elif rt == EXTRACT_FAIL_LOW_COMPLEXITY:
+                counters["low_complexity"] += 1
+            else:
+                counters["artifact"] += 1
+                if mer_hash:
+                    mer_hash[(rt >> 8) - 1] += 1
+
+    if writer is not None:
+        writer.close()
+    for r in readers:
+        r.close()
+
+    log("Done.\n\n")
+    for i in range(nfiles):
+        log(f"{param.infile[i]}\tInput file {i}.\n")
+    log(f"{counters['total']}\ttotal input reads\n")
+    log(f"{thresholds[-1]:.2f}\tselected threshold\n")
+    log(f"{counters['success']}\tsuccessfully extracted\n")
+    pct = (
+        100.0 * counters["success"] / counters["total"] if counters["total"] else 0.0
+    )
+    log(f"{pct:.1f}%\textracted\n")
+    log(f"{counters['arch_mismatch']}\tproblems with architecture\n")
+    log(f"{counters['bar_finger']}\tbarcode / UMI not found\n")
+    log(f"{counters['too_short']}\ttoo short\n")
+    log(f"{counters['low_complexity']}\tlow complexity\n")
+    log(f"{counters['artifact']}\tmatch artifacts:\n")
+    if contaminant_names:
+        for i, n in enumerate(contaminant_names):
+            if mer_hash[i]:
+                log(f"{mer_hash[i]}\t{n}\n")
+    log.flush(param.outfile)

@@ -1,0 +1,134 @@
+"""Batch orchestration over the DP engines: bucketing, scoring, extraction.
+
+Plays the role of the reference's ``run_pHMM`` thread fan-out
+(``barcode_hmm.c:1895-2029``): score every read, convert scores to Q, decode
+labels, extract, then run the artifact/DUST filters.  Reads are bucketed by
+length so each engine call sees a rectangular ``[B, L]`` batch; per-read
+results are independent of the bucketing, exactly as the reference results
+are independent of its thread split.
+
+The thread-slice geometry (``interval = numseq/num_threads``,
+``barcode_hmm.c:1911-1922``) is still emulated where it is observable: the
+artifact filter's 4-wide batching has a per-slice remainder path
+(``barcode_hmm.c:2496-2579``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..constants import EXTRACT_SUCCESS
+from ..extract import compute_q, extract_read
+from ..filters import dust_reads, match_to_reference
+from ..io.fastq import Read
+from ..model import ModelBag
+from .exact import ExactEngine
+
+_F32 = np.float32
+
+
+def thread_slices(numseq: int, num_threads: int) -> List[tuple]:
+    """barcode_hmm.c:1911-1922."""
+    interval = int(float(numseq) / float(num_threads))
+    slices = [(t * interval, t * interval + interval) for t in range(num_threads)]
+    s, _ = slices[-1]
+    slices[-1] = (s, numseq)
+    return slices
+
+
+def _build_batches(reads: List[Read], matchstart: int, matchend: int):
+    """Group read indices by effective DP length; build [B, L+1] buffers with
+    the position after the subsequence (terminator 'A' or the next real
+    char), as read by the backward pass."""
+    buckets: Dict[int, List[int]] = {}
+    for idx, r in enumerate(reads):
+        L = r.len
+        if matchstart != -1 or matchend != -1:
+            L = matchend - matchstart
+        buckets.setdefault(L, []).append(idx)
+    out = []
+    for L, idxs in buckets.items():
+        B = len(idxs)
+        seqs = np.zeros((B, L + 1), dtype=np.uint8)
+        for bi, idx in enumerate(idxs):
+            r = reads[idx]
+            if matchstart != -1 or matchend != -1:
+                sub = r.seq[matchstart : matchend + 1]
+                seqs[bi, : sub.shape[0]] = sub
+            else:
+                seqs[bi, : r.len] = r.seq
+        out.append((L, idxs, seqs))
+    return out
+
+
+def score_reads(
+    mb: ModelBag,
+    reads: List[Read],
+    matchstart: int = -1,
+    matchend: int = -1,
+    want_labels: bool = True,
+    engine: Optional[ExactEngine] = None,
+):
+    """backward + posterior decode + Q for every read; stores mapq (and
+    labels) on the reads.  Mirrors do_label_thread / do_probability_estimation
+    (barcode_hmm.c:2174-2340)."""
+    eng = engine or ExactEngine(mb)
+    for L, idxs, seqs in _build_batches(reads, matchstart, matchend):
+        if L <= 0:
+            for idx in idxs:
+                reads[idx].mapq = float("nan")
+            continue
+        res = eng.run_batch(seqs, L)
+        q = compute_q(res.f_score, res.r_score, res.bar_prob)
+        for bi, idx in enumerate(idxs):
+            reads[idx].mapq = float(q[bi])
+            if want_labels:
+                reads[idx].labels = res.labels[bi]
+
+
+def run_get_label(
+    mb: ModelBag,
+    rs,
+    reads: List[Read],
+    param,
+    confidence_threshold: float,
+    contaminants=None,
+) -> None:
+    """MODE_GET_LABEL (do_label_thread, barcode_hmm.c:2269-2360)."""
+    score_reads(mb, reads, param.matchstart, param.matchend, want_labels=True)
+    for r in reads:
+        extract_read(
+            mb,
+            rs,
+            r,
+            r.labels,
+            param.minlen,
+            confidence_threshold,
+            param.matchstart,
+            param.matchend,
+        )
+    _apply_filters(reads, param, contaminants)
+
+
+def run_rna_dust(reads: List[Read], param, contaminants=None) -> None:
+    """MODE for pure R:N architectures (do_rna_dust, barcode_hmm.c:2370-2395)."""
+    for r in reads:
+        r.read_type = EXTRACT_SUCCESS
+    _apply_filters(reads, param, contaminants)
+
+
+def _apply_filters(reads: List[Read], param, contaminants) -> None:
+    if contaminants is not None:
+        for s, e in thread_slices(len(reads), param.num_threads):
+            match_to_reference(reads[s:e], contaminants, param.filter_error)
+    if param.dust:
+        dust_reads(reads, param.dust)
+
+
+def run_get_prob(mb: ModelBag, seq_list: List[np.ndarray]) -> np.ndarray:
+    """MODE_GET_PROB for calibration: mapq per raw sequence."""
+    reads = [Read(seq=s) for s in seq_list]
+    score_reads(mb, reads, want_labels=False)
+    return np.array([r.mapq for r in reads], dtype=np.float32)

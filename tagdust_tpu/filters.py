@@ -1,0 +1,184 @@
+"""Post-extraction filters: DUST low-complexity and contaminant matching.
+
+* DUST (``dust_sequences``, ``barcode_hmm.c:2407-2467``): triplet-count score
+  over the first 64 nt; above the ``-dust`` threshold (default 100) the read
+  is marked LOW_COMPLEXITY.
+* Artifact filter (``match_to_reference``, ``barcode_hmm.c:2478-2583``):
+  Myers bit-parallel edit distance of each read (forward and
+  reverse-complement) against every contaminant; <= ``-fe`` errors marks
+  MATCHES_ARTIFACTS with the 1-based contaminant id encoded in the high bits
+  of read_type.  The bit-parallel kernels mirror ``misc.c:581-796``
+  (patterns effectively capped at 31/63 symbols).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from .constants import (
+    EXTRACT_FAIL_LOW_COMPLEXITY,
+    EXTRACT_FAIL_MATCHES_ARTIFACTS,
+    EXTRACT_SUCCESS,
+    REV_NUC_CODE,
+    SPACER,
+)
+from .io.fastq import Read
+
+_M64 = (1 << 64) - 1
+
+
+def dust_score(seq: np.ndarray, length: int) -> float:
+    """Simplified DUST on the first 64 nt (barcode_hmm.c:2424-2453)."""
+    c = 0
+    n = int(length)
+    while c < n and seq[c] == SPACER:
+        c += 1
+    if c + 1 >= n:
+        return 0.0
+    key = ((int(seq[c]) & 0x3) << 2) | (int(seq[c + 1]) & 0x3)
+    ln = min(n, 64)
+    c += 2
+    triplet = np.zeros(64, dtype=np.float64)
+    start = c
+    for j in range(start, ln):
+        if seq[j] == SPACER:
+            break
+        key = ((key << 2) | (int(seq[j]) & 0x3)) & _M64
+        triplet[key & 0x3F] += 1
+        c += 1
+    s = float(np.sum(triplet * (triplet - 1.0) / 2.0))
+    return s / float(c - 3) * 10.0
+
+
+def dust_reads(reads: List[Read], dust_cut: int) -> None:
+    for r in reads:
+        if dust_score(r.seq, r.len) > dust_cut:
+            r.read_type = EXTRACT_FAIL_LOW_COMPLEXITY
+
+
+def bpm_check_error(text: np.ndarray, pattern: np.ndarray, n: int, m: int) -> int:
+    """misc.c:581-640: best (substring) edit distance of pattern in text.
+
+    Pattern symbols equal to the spacer (65) are skipped; effectively capped
+    at 31 pattern symbols.
+    """
+    B = [0, 0, 0, 0]
+    new_len = 0
+    for i in range(min(m, 64)):
+        if pattern[i] != SPACER:
+            B[int(pattern[i]) & 0x3] |= 1 << i
+            new_len += 1
+    if new_len > 31:
+        new_len = 31
+    m = new_len
+    k = new_len
+    diff = new_len
+    VP = _M64
+    VN = 0
+    m -= 1
+    MASK = 1 << m
+    for i in range(n):
+        X = B[int(text[i]) & 0x3] | VN
+        D0 = ((((VP + (X & VP)) & _M64) ^ VP) | X) & _M64
+        HN = VP & D0
+        HP = (VN | (~(VP | D0) & _M64)) & _M64
+        X = (HP << 1) & _M64
+        VN = X & D0
+        VP = (((HN << 1) | (~(X | D0) & _M64))) & _M64
+        diff += (HP & MASK) >> m
+        diff -= (HN & MASK) >> m
+        if diff < k:
+            k = diff
+    return int(k)
+
+
+def bpm_check_error_global(text: np.ndarray, pattern: np.ndarray, n: int, m: int) -> int:
+    """misc.c:653-704: global-ish edit distance, pattern capped at 63."""
+    if m > 63:
+        m = 63
+    B = [0, 0, 0, 0]
+    for i in range(m):
+        B[int(pattern[i]) & 0x3] |= 1 << i
+    diff = m
+    VP = _M64
+    VN = 0
+    m -= 1
+    MASK = 1 << m
+    for i in range(n):
+        X = B[int(text[i]) & 0x3] | VN
+        D0 = ((((VP + (X & VP)) & _M64) ^ VP) | X) & _M64
+        HN = VP & D0
+        HP = (VN | (~(VP | D0) & _M64)) & _M64
+        X = (HP << 1) & _M64
+        VN = X & D0
+        VP = (((HN << 1) | (~(X | D0) & _M64))) & _M64
+        diff += (HP & MASK) >> m
+        diff -= (HN & MASK) >> m
+    return int(diff)
+
+
+def reverse_complement(seq: np.ndarray) -> np.ndarray:
+    """misc.c:829-853 (spacers preserved)."""
+    out = np.empty_like(seq)
+    n = seq.shape[0]
+    for i in range(n):
+        v = seq[n - 1 - i]
+        out[i] = SPACER if v == SPACER else REV_NUC_CODE[int(v)]
+    return out
+
+
+def match_to_reference(
+    reads: List[Read], contaminant_seqs: List[np.ndarray], error_cut: int
+) -> None:
+    """barcode_hmm.c:2478-2583 semantics: for each read take, over all
+    contaminants and both orientations, the minimum distance computed by
+    the (pattern = read) kernel; mark EXTRACT_SUCCESS reads whose best
+    distance <= error_cut."""
+    for r in reads:
+        best = 100000
+        best_id = 0
+        fwd = r.seq
+        rev = reverse_complement(r.seq)
+        for j, ref in enumerate(contaminant_seqs):
+            n = ref.shape[0]
+            d = _bmp_single(ref, fwd, n, r.len)
+            if d < best:
+                best = d
+                best_id = j + 1
+            d = _bmp_single(ref, rev, n, r.len)
+            if d < best:
+                best = d
+                best_id = j + 1
+        if best <= error_cut and r.read_type == EXTRACT_SUCCESS:
+            r.read_type = (best_id << 8) | EXTRACT_FAIL_MATCHES_ARTIFACTS
+
+
+def _bmp_single(text: np.ndarray, pattern: np.ndarray, n: int, m: int) -> int:
+    """misc.c:718-765 (portable Myers kernel, pattern capped at 63)."""
+    if m > 63:
+        m = 63
+    B = [0, 0, 0, 0]
+    for i in range(m):
+        if pattern[i] != SPACER:
+            B[int(pattern[i]) & 0x3] |= 1 << i
+    diff = m
+    k = m
+    VP = (1 << m) - 1
+    VN = 0
+    m -= 1
+    MASK = 1 << m
+    for i in range(n):
+        X = B[int(text[i]) & 0x3] | VN
+        D0 = ((((VP + (X & VP)) & _M64) ^ VP) | X) & _M64
+        HN = VP & D0
+        HP = (VN | (~(VP | D0) & _M64)) & _M64
+        X = (HP << 1) & _M64
+        VN = X & D0
+        VP = (((HN << 1) | (~(X | D0) & _M64))) & _M64
+        diff += 1 if (HP & MASK) else 0
+        diff -= 1 if (HN & MASK) else 0
+        if diff < k:
+            k = diff
+    return int(k)

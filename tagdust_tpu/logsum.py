@@ -19,16 +19,21 @@ substrate for the deterministic "exact" engine; the TPU performance engine
 uses true log-sum-exp instead.
 """
 
+import math
+
 import numpy as np
 
 LOGSUM_SIZE = 16000
 SCALE = np.float32(1000.0)
 NEG_INF = np.float32(-np.inf)
 
-# Table computed like init_logsum (misc.c:57-63): double math, float storage.
-_i = np.arange(LOGSUM_SIZE, dtype=np.float64)
-LOGSUM_TABLE = np.log1p(np.exp(-_i / 1000.0)).astype(np.float32)
-del _i
+# Table computed like init_logsum (misc.c:57-63): double math through libm
+# (math.exp/math.log, NOT numpy's vectorised kernels, and log(1+x) rather
+# than log1p — the reference uses plain log()), float storage.
+LOGSUM_TABLE = np.array(
+    [math.log(1.0 + math.exp(-i / 1000.0)) for i in range(LOGSUM_SIZE)],
+    dtype=np.float32,
+)
 
 _F32 = np.float32
 _F64 = np.float64
@@ -39,15 +44,17 @@ def p2sp(x) -> np.float32:
     xf = _F32(x)
     if xf == 0.0:
         return NEG_INF
-    return _F32(np.log(_F64(xf)))
+    return _F32(math.log(float(xf)))
 
 
 def p2sp_arr(x) -> np.ndarray:
-    """Vectorised prob2scaledprob."""
+    """Vectorised prob2scaledprob (libm log per element)."""
     xf = np.asarray(x, dtype=np.float32)
-    with np.errstate(divide="ignore"):
-        out = np.log(xf.astype(np.float64)).astype(np.float32)
-    return np.where(xf == 0.0, NEG_INF, out)
+    flat = xf.ravel()
+    out = np.empty(flat.shape, dtype=np.float32)
+    for i, v in enumerate(flat):
+        out[i] = NEG_INF if v == 0.0 else _F32(math.log(float(v)))
+    return out.reshape(xf.shape)
 
 
 def sp2p(x) -> np.float32:
@@ -55,7 +62,17 @@ def sp2p(x) -> np.float32:
     xf = _F32(x)
     if np.isneginf(xf):
         return _F32(0.0)
-    return _F32(np.exp(_F64(xf)))
+    return _F32(math.exp(float(xf)))
+
+
+def sp2p_arr(x) -> np.ndarray:
+    """Vectorised scaledprob2prob via libm exp (bit-exact vs C)."""
+    xf = np.asarray(x, dtype=np.float32)
+    flat = xf.ravel()
+    out = np.empty(flat.shape, dtype=np.float32)
+    for i, v in enumerate(flat):
+        out[i] = _F32(0.0) if np.isneginf(v) else _F32(math.exp(float(v)))
+    return out.reshape(xf.shape)
 
 
 def logsum(a, b):

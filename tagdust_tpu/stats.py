@@ -1,0 +1,147 @@
+"""Sequence-statistics pre-pass (background freqs, lengths, P-segment stats).
+
+Re-implements ``get_sequence_stats`` (``io.c:52-300``): one streaming pass
+over (at most ~1M of) the input reads computing
+
+* background nucleotide frequencies with +1 pseudocounts, stored as
+  float32-rounded log-probabilities (``io.c:263-270``),
+* average (rounded) and maximum read length,
+* for a leading/trailing ``P`` partial-linker segment: the empirical
+  mean/stdev of the exact-match prefix/suffix overlap length
+  (``io.c:104-173``), matching the linker *suffix* at the read start (5')
+  and the linker *prefix* at the read end (3'); only overlaps > 3 nt count.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+from .arch import ReadStructure
+from .constants import NUC_CODE
+from .io.fastq import SeqReader
+from .logsum import p2sp
+
+
+@dataclass
+class SequenceStats:
+    background: List[float] = field(default_factory=lambda: [0.0] * 5)
+    expected_5_len: int = 0
+    expected_3_len: int = 0
+    mean_5_len: float = 0.0
+    stdev_5_len: float = 0.0
+    mean_3_len: float = 0.0
+    stdev_3_len: float = 0.0
+    average_length: int = 0
+    max_seq_len: int = 0
+
+
+def get_sequence_stats(
+    path: str,
+    rs: ReadStructure,
+    num_query: int,
+    matchstart: int = -1,
+    matchend: int = -1,
+    messages=None,
+) -> SequenceStats:
+    ssi = SequenceStats()
+    counts = np.ones(5, dtype=np.float64)  # +1 pseudocounts (io.c:79-81)
+    total_read = 0
+    sum_len = 0.0
+
+    five_test = three_test = None
+    five_len = three_len = 0
+    f_s0 = f_s1 = f_s2 = 0.0
+    t_s0 = t_s1 = t_s2 = 0.0
+    if rs.types and rs.types[0] == "P":
+        five_len = len(rs.seqs[0][0])
+        ssi.expected_5_len = five_len
+        five_test = NUC_CODE[np.frombuffer(rs.seqs[0][0].encode(), np.uint8)]
+    if rs.types and rs.types[-1] == "P":
+        three_len = len(rs.seqs[-1][0])
+        ssi.expected_3_len = three_len
+        three_test = NUC_CODE[np.frombuffer(rs.seqs[-1][0].encode(), np.uint8)]
+
+    reader = SeqReader(path)
+    try:
+        while True:
+            chunk = reader.read_chunk(num_query)
+            if not chunk:
+                break
+            for r in chunk:
+                L = r.len
+                if L > ssi.max_seq_len:
+                    ssi.max_seq_len = L
+                sum_len += L
+                np.add.at(counts, r.seq[r.seq < 5], 1.0)
+                counts[4] += int(np.sum(r.seq == 5))  # '.' counts as slot 5 ->
+                # NOTE: reference indexes background[seq[j]] directly; codes are
+                # 0-4 for fastq input ('.' never appears in practice).
+                if five_len:
+                    # longest linker-suffix matching the read start (io.c:141-156)
+                    for j in range(five_len + 1):
+                        m = five_len - j
+                        if m > L:
+                            # C compares read positions c < five_len-j even
+                            # beyond the read end; seq[c] there is whatever
+                            # follows -- for parity we only allow full compare
+                            # within the read (reads shorter than linkers are
+                            # not exercised by the reference tests).
+                            continue
+                        if m and np.array_equal(r.seq[:m], five_test[j:]):
+                            if m > 3:
+                                f_s0 += 1
+                                f_s1 += m
+                                f_s2 += m * m
+                            break
+                        if m == 0:
+                            break
+                if three_len:
+                    for j in range(three_len + 1):
+                        m = three_len - j
+                        if m > L:
+                            continue
+                        if m and np.array_equal(r.seq[L - m :], three_test[:m]):
+                            if m > 3:
+                                t_s0 += 1
+                                t_s1 += m
+                                t_s2 += m * m
+                            break
+                        if m == 0:
+                            break
+            total_read += len(chunk)
+            if total_read > 1000000:
+                break
+    finally:
+        reader.close()
+
+    def _finish(which, s0, s1, s2, expected):
+        if s0 <= 1:
+            return float(expected), 1.0
+        mean = s1 / s0
+        var = (s0 * s2 - s1 * s1) / (s0 * (s0 - 1.0))
+        # C sqrt() of a negative -> NaN, propagated as-is (io.c:202)
+        stdev = math.sqrt(var) if var >= 0 else float("nan")
+        if not stdev:
+            stdev = 10000.0
+        return mean, stdev
+
+    if five_len:
+        ssi.mean_5_len, ssi.stdev_5_len = _finish("5", f_s0, f_s1, f_s2, five_len)
+    else:
+        ssi.mean_5_len = ssi.stdev_5_len = -1.0
+    if three_len:
+        ssi.mean_3_len, ssi.stdev_3_len = _finish("3", t_s0, t_s1, t_s2, three_len)
+    else:
+        ssi.mean_3_len = ssi.stdev_3_len = -1.0
+
+    if matchstart != -1 or matchend != -1:
+        sum_len = (matchend - matchstart) * total_read
+    ssi.average_length = int(math.floor(sum_len / total_read + 0.5))
+
+    s = float(np.sum(counts))
+    ssi.background = [float(p2sp(counts[i] / s)) for i in range(5)]
+    return ssi
