@@ -22,6 +22,7 @@ Reference quirks reproduced:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import List
@@ -191,12 +192,32 @@ def estimate_q_threshold(param, rs, ssi, run_get_prob) -> float:
 
     avg_len = int(ssi.average_length)
     reads: List[EmittedRead] = []
-    for _ in range(binsize * 2):
-        reads.append(EmittedRead(emit_read_sequence(mb, rng, avg_len), 0))
-    for _ in range(binsize * 2):
-        reads.append(EmittedRead(emit_random_sequence(mb, rng, avg_len), 1))
-        if len(reads) == num_test:
-            break
+    flat = None
+    if os.environ.get("TAGDUST_TPU_NO_NATIVE") != "1":
+        try:
+            from .engine.native import FlatModel
+
+            flat = FlatModel(mb)
+        except Exception:
+            flat = None
+    if flat is not None:
+        state = int(rng.next)
+        for _ in range(binsize * 2):
+            state, seq = flat.emit_read(state, avg_len)
+            reads.append(EmittedRead(seq, 0))
+        for _ in range(binsize * 2):
+            state, seq = flat.emit_random(state, avg_len)
+            reads.append(EmittedRead(seq, 1))
+            if len(reads) == num_test:
+                break
+        rng.next = np.uint32(state)
+    else:
+        for _ in range(binsize * 2):
+            reads.append(EmittedRead(emit_read_sequence(mb, rng, avg_len), 0))
+        for _ in range(binsize * 2):
+            reads.append(EmittedRead(emit_random_sequence(mb, rng, avg_len), 1))
+            if len(reads) == num_test:
+                break
 
     TP = FP = 0.0
     TN = float(sum(1 for r in reads if r.read_type == 1))

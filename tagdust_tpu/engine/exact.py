@@ -29,6 +29,7 @@ Notable reference quirks reproduced here:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List
 
@@ -51,8 +52,22 @@ class BatchResult:
 
 
 class ExactEngine:
-    def __init__(self, mb: ModelBag):
+    """Dispatches to the native C++ engine (csrc/exact_engine.cpp) when
+    available; the numpy implementation below is the readable reference and
+    fallback (both produce bit-identical float32 results)."""
+
+    def __init__(self, mb: ModelBag, use_native: bool = None):
         self.mb = mb
+        if use_native is None:
+            use_native = os.environ.get("TAGDUST_TPU_NO_NATIVE") != "1"
+        self.flat = None
+        if use_native:
+            try:
+                from .native import FlatModel
+
+                self.flat = FlatModel(mb)
+            except Exception:
+                self.flat = None
 
     # ---------- backward ----------
     def backward(self, seqs: np.ndarray, L: int):
@@ -336,6 +351,11 @@ class ExactEngine:
 
         ``seqs``: uint8 [B, L+1] with seqs[:, L] == 0 (terminator read by the
         backward pass, see module docstring)."""
+        if self.flat is not None:
+            f, b, r, bar, labels = self.flat.score_batch(seqs, L, mode=0)
+            return BatchResult(
+                f_score=f, b_score=b, r_score=r, bar_prob=bar, labels=labels
+            )
         b_score, Mb, Ib, _sb = self.backward(seqs, L)
         f_score, bar_prob, labels, r_score = self.decode(seqs, L, Mb, Ib, b_score)
         return BatchResult(
@@ -348,5 +368,7 @@ class ExactEngine:
 
     def backward_only(self, seqs: np.ndarray, L: int) -> np.ndarray:
         """b_score only (arch auto-detection, MODE_ARCH_COMP)."""
+        if self.flat is not None:
+            return self.flat.score_batch(seqs, L, mode=1)[1]
         b_score, _, _, _ = self.backward(seqs, L)
         return b_score
