@@ -1,0 +1,10 @@
+import os
+
+# TPU-path tests run on a virtual 8-device CPU mesh; the deterministic gold
+# tests don't touch JAX at all.  Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,114 @@
+"""Unit tests for the numerics substrate and small components."""
+
+import numpy as np
+import pytest
+
+from tagdust_tpu.arch import (
+    assign_segment_sequences,
+    build_read_structure,
+    parse_arch_line,
+    qc_read_structure,
+)
+from tagdust_tpu.constants import NUC_CODE
+from tagdust_tpu.filters import bpm_check_error_global, dust_score
+from tagdust_tpu.logsum import LOGSUM_TABLE, NEG_INF, logsum, p2sp, sp2p
+from tagdust_tpu.namecheck import compare_read_names, reset_detection
+from tagdust_tpu.rng import CRand
+
+
+def test_logsum_basics():
+    # identity with -inf
+    assert logsum(NEG_INF, np.float32(-3.0)) == np.float32(-3.0)
+    assert np.isneginf(logsum(NEG_INF, NEG_INF))
+    # far apart -> max
+    assert logsum(np.float32(0.0), np.float32(-20.0)) == np.float32(0.0)
+    # table value
+    v = logsum(np.float32(0.0), np.float32(0.0))
+    assert abs(float(v) - np.log(2.0)) < 1e-3
+
+
+def test_logsum_table_matches_c_formula():
+    import math
+
+    for i in (0, 1, 100, 15999):
+        assert LOGSUM_TABLE[i] == np.float32(math.log(1.0 + math.exp(-i / 1000.0)))
+
+
+def test_p2sp_roundtrip():
+    assert np.isneginf(p2sp(0.0))
+    assert sp2p(NEG_INF) == 0.0
+    assert abs(float(sp2p(p2sp(0.25))) - 0.25) < 1e-6
+
+
+def test_crand_sequence():
+    # reference LCG with seed 42 (misc.c:878-887)
+    r = CRand()
+    r.srand(42)
+    vals = [r.rand() for _ in range(4)]
+    # recompute by hand
+    s = 42
+    expect = []
+    for _ in range(4):
+        s = (s * 1103515245 + 12345) & 0xFFFFFFFF
+        expect.append((s // 65536) % 32768)
+    assert vals == expect
+
+
+def test_nuc_code():
+    assert [int(NUC_CODE[ord(c)]) for c in "ACGTUacgtu.X"] == [
+        0, 1, 2, 3, 3, 0, 1, 2, 3, 3, 5, 4,
+    ]
+
+
+def test_segment_parsing():
+    t, alts = assign_segment_sequences("B:AC,GG")
+    assert t == "B" and alts == ["AC", "GG", "NN"]  # null-N appended
+    t, alts = assign_segment_sequences("S:TATA")
+    assert alts == ["TATA", "NNNN"]
+    t, alts = assign_segment_sequences("R:N")
+    assert alts == ["N"]
+    t, alts = assign_segment_sequences("F:NNNN")
+    assert alts == ["NNNN"]
+    with pytest.raises(ValueError):
+        assign_segment_sequences("X:AA")
+
+
+def test_qc_rejects_unequal_lengths():
+    rs = build_read_structure(["B:AC,GGG"])
+    with pytest.raises(ValueError):
+        qc_read_structure(rs)
+
+
+def test_arch_line_parse():
+    line = "tagdust -1 B:TTGGCA,AAAAAA -2 R:N in.fq -o out.fq\n"
+    assert parse_arch_line(line) == ["B:TTGGCA,AAAAAA", "R:N"]
+    assert parse_arch_line("no options here") == []
+
+
+def test_dust_score_low_complexity():
+    seq = np.zeros(64, dtype=np.uint8)  # poly-A
+    assert dust_score(seq, 64) > 100
+    rng = np.random.default_rng(0)
+    seq = rng.integers(0, 4, 64).astype(np.uint8)
+    assert dust_score(seq, 64) < 100
+
+
+def test_bpm_global_identical():
+    a = np.array([0, 1, 2, 3, 0, 1, 2, 3], dtype=np.uint8)
+    assert bpm_check_error_global(a, a, 8, 8) == 0
+    b = a.copy()
+    b[3] = 0
+    assert bpm_check_error_global(a, b, 8, 8) == 1
+
+
+def test_name_check_generic_and_casava():
+    reset_detection()
+    assert compare_read_names("READ1;SEQ:AAA", "READ1;SEQ:TTT") == 0
+    assert compare_read_names("READ1;SEQ:AAA", "READ2;SEQ:AAA") == 1
+    reset_detection()
+    n1 = "EAS139:136:FC706VJ:2:2104:15343:197393 1:Y:18:ATCACG"
+    n2 = "EAS139:136:FC706VJ:2:2104:15343:197393 2:Y:18:ATCACG"
+    assert compare_read_names(n1, n2) == 0
+    n3 = "EAS139:136:FC706VJ:2:2104:15343:197394 2:Y:18:ATCACG"
+    assert compare_read_names(n1, n3) == 1
+    reset_detection()
