@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark: posterior-decode DP throughput (reads/sec/chip) on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference C implementation at 1 thread processes the same
+workload (20x 6nt-barcode architecture, ~56nt reads, full
+backward+decode+Q labeling path) at ~1265 reads/s on this host (measured
+with the reference build: `tagdust -t 1 -Q 10` over 100k reads; its
+production log implies ~5000 reads/s at 80 threads,
+doc/User-Manual.tex:613-637).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+BASELINE_SINGLE_CORE_C = 1265.0  # reads/s, measured (see docstring)
+
+
+def main():
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from __graft_entry__ import _flagship_engine
+
+    eng = _flagship_engine()
+
+    rng = np.random.default_rng(0)
+    B, L = 16384, 64
+    seqs = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    lens = np.full(B, 56, dtype=np.int32)
+
+    # warmup / compile
+    eng.run_batch(seqs, lens)
+
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        eng.run_batch(seqs, lens)
+        times.append(time.time() - t0)
+    dt = min(times)
+    rps = B / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "reads/sec/chip (posterior-decode DP, 6nt-barcode arch)",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / BASELINE_SINGLE_CORE_C, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""TPU DP engine: batched scaled forward/backward as MXU matmul scans.
+
+Consumes the closure-compiled lattice (`engine/lattice.py`).  One DP step for
+a batch of reads is a single dense matmul on the MXU:
+
+    W[b, (s,c)] = v[b,s] * onehot(c_b)[c]        (VPU outer product)
+    v[i]        = W @ A'                          (A': [5S, S])
+
+i.e. the per-base transition-matrix selection is folded into a one-hot
+expansion of the source vector, so the whole step is one
+``[B,5S] x [5S, S+K]`` contraction (the K extra columns carry the
+entry-only flows used for the barcode probability).  The backward pass uses
+the transposed stack over the reversed sequence; per-position label
+posteriors, the optimal-accuracy label DP (max-plus over the
+label-compatibility matrix, mirroring ``barcode_hmm.c:4451-4514``) and the
+traceback all stay on device.  Per-step max-rescaling keeps linear-space
+probabilities in float32 range; per-read log-scales accumulate alongside.
+
+Ragged batches: reads are right-padded; padded steps freeze the carry via
+masks, so one compiled program serves a whole length bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .lattice import Lattice, compile_lattice
+from ..model import ModelBag
+
+
+@dataclass
+class TpuBatchResult:
+    f_score: np.ndarray  # [B] log P(x|M), natural log
+    r_score: np.ndarray  # [B] log P(x|R)
+    bar_prob: np.ndarray  # [B] log barcode probability
+    labels: np.ndarray  # [B, Lpad+1] int32 label path
+    mapq: np.ndarray  # [B] Q values
+
+
+def _forward_backward(lat_dev, seqs, lens):
+    """Core jitted computation. seqs [B, Lpad] int32, lens [B] int32."""
+    Afwd = lat_dev["Afwd"]  # [5S, S+K]  (fused A | Aent)
+    Abwd = lat_dev["Abwd"]  # [5S, S]    (transposed stack)
+    end = lat_dev["end"]  # [S]
+    Lmap = lat_dev["Lmap"]  # [S, H+1]
+    ent_state = lat_dev["ent_state"]  # [K]
+    tmat = lat_dev["tmat"]  # [H, H]
+    bg = lat_dev["bg"]  # [5]
+    avg_len = lat_dev["avg_len"]
+    begin = lat_dev["begin"]
+    S = lat_dev["S"]
+    K = lat_dev["K"]
+
+    B, Lpad = seqs.shape
+    H = tmat.shape[0]
+
+    pos = jnp.arange(Lpad)
+    active = pos[None, :] < lens[:, None]  # [B, Lpad]
+    onehot = jax.nn.one_hot(seqs, 5, dtype=jnp.float32)  # [B, Lpad, 5]
+
+    def expand(v, oh):
+        # [B,S] x [B,5] -> [B, 5S] with layout (c, s)
+        return (oh[:, :, None] * v[:, None, :]).reshape(v.shape[0], 5 * S)
+
+    # ---------------- backward scan (reversed) ----------------
+    def bwd_step(carry, x):
+        bv, ls = carry  # [B,S], [B]
+        oh, act = x
+        W = expand(bv, oh)
+        bn = W @ Abwd  # [B,S]
+        m = jnp.max(bn, axis=1, keepdims=True)
+        m = jnp.where(m > 0, m, 1.0)
+        bn = bn / m
+        nls = ls + jnp.log(m[:, 0])
+        bv = jnp.where(act[:, None], bn, bv)
+        nls = jnp.where(act, nls, ls)
+        return (bv, nls), (bv, nls)
+
+    b0 = jnp.broadcast_to(end[None, :], (B, S))
+    ls0 = jnp.zeros((B,), jnp.float32)
+    xs_b = (jnp.swapaxes(onehot, 0, 1)[::-1], active.T[::-1])
+    (bfin, bls_fin), (bstack, blstack) = jax.lax.scan(bwd_step, (b0, ls0), xs_b)
+    bwd_stack = jnp.concatenate([bstack[::-1][1:], b0[None, :, :]], axis=0)
+    bls_stack = jnp.concatenate([blstack[::-1][1:], ls0[None, :]], axis=0)
+
+    logP_b = jnp.log(jnp.maximum(bfin[:, begin], 1e-38)) + bls_fin
+
+    # ------- forward scan: posterior reduction + fused label DP -------
+    # (the label DP is the optimal-accuracy recursion of barcode_hmm.c:4451,
+    #  fused into the forward sweep to avoid materialising the posterior
+    #  stack)
+    ent_sel = lat_dev["ent_sel"]  # [S, K] one-hot (MXU gather of bwd values)
+    jidx = jnp.arange(H, dtype=jnp.int32)[None, :]
+
+    def fwd_step(carry, x):
+        v, ls, tp, dp = carry  # [B,S], [B], [B,K], [B,H]
+        oh, act, bw, bls = x
+        W = expand(v, oh)
+        Y = W @ Afwd  # [B, S+K]
+        vn = Y[:, :S]
+        ve = Y[:, S:]
+        w = jnp.exp(ls + bls - logP_b)  # [B]
+        post = vn * bw
+        plab = (post @ Lmap) * w[:, None]
+        tpn = tp + ve * (bw @ ent_sel) * w[:, None]
+        m = jnp.max(vn, axis=1, keepdims=True)
+        m = jnp.where(m > 0, m, 1.0)
+        vn2 = vn / m
+        nls = ls + jnp.log(m[:, 0])
+        v = jnp.where(act[:, None], vn2, v)
+        nls = jnp.where(act, nls, ls)
+        tp = jnp.where(act[:, None], tpn, tp)
+        # label DP step
+        scores = dp[:, :, None] * tmat[None, :, :]  # [B,c,j]
+        mv = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        mx = jnp.max(scores, axis=1)
+        diag = dp * jnp.diagonal(tmat)[None, :]
+        mv = jnp.where(diag == mx, jidx, mv)
+        ndp = plab[:, :H] + mx
+        dp = jnp.where(act[:, None], ndp, dp)
+        mv = jnp.where(act[:, None], mv, jidx)
+        return (v, nls, tp, dp), mv.astype(jnp.int8)
+
+    v0 = jnp.zeros((B, S), jnp.float32).at[:, begin].set(1.0)
+    tp0 = jnp.zeros((B, K), jnp.float32)
+    dp0 = jnp.zeros((B, H), jnp.float32)
+    xs_f = (jnp.swapaxes(onehot, 0, 1), active.T, bwd_stack, bls_stack)
+    (vfin, fls_fin, total_ent, dpfin), path = jax.lax.scan(
+        fwd_step, (v0, ls0, tp0, dp0), xs_f
+    )
+    f_lin = jnp.maximum(vfin @ end, 1e-38)
+    f_log = jnp.log(f_lin) + fls_fin
+    last = jnp.argmax(dpfin, axis=1).astype(jnp.int32)
+
+    def tb_step(move, pth):
+        nm = jnp.take_along_axis(pth.astype(jnp.int32), move[:, None], axis=1)[:, 0]
+        return nm, nm
+
+    _, lab_rev = jax.lax.scan(tb_step, last, path[::-1])
+    labels = jnp.concatenate([lab_rev[::-1], last[None, :]], axis=0).T
+
+    # ---------------- bar_prob & Q ----------------
+    bar_log = lat_dev["bar_fn"](total_ent)
+
+    bg_l = jnp.log(bg)
+    r_per = jnp.log1p(-1.0 / avg_len)
+    r_log = (
+        jnp.sum(jnp.where(active, bg_l[seqs], 0.0), axis=1)
+        + lens.astype(jnp.float32) * r_per
+        + jnp.log(1.0 / avg_len)
+    )
+
+    denom = jnp.logaddexp(f_log, r_log)
+    p_right = jnp.exp(bar_log + f_log - denom)
+    p_wrong = jnp.clip(1.0 - p_right, 0.0, 1.0)
+    mapq = jnp.where(
+        p_wrong <= 0.0,
+        40.0,
+        jnp.where(p_wrong >= 1.0, 0.0, -10.0 * jnp.log10(p_wrong)),
+    )
+    mapq = jnp.clip(mapq, 0.0, 40.0)
+
+    return f_log, r_log, bar_log, labels, mapq
+
+
+class TpuEngine:
+    """Batched TPU scorer for one compiled model."""
+
+    def __init__(self, mb: ModelBag, lattice: Optional[Lattice] = None):
+        self.mb = mb
+        lat = lattice or compile_lattice(mb)
+        self.lat = lat
+        S = lat.S
+        K = lat.Aent.shape[2]
+        ent_state = np.zeros(K, dtype=np.int32)
+        k = 0
+        si = 0
+        for j, m in enumerate(mb.models):
+            for f in range(m.num_hmms):
+                if m.num_hmms > 1:
+                    ent_state[k] = si  # M(j,f,0)
+                    ent_state[k + 1] = si + 1  # I(j,f,0)
+                    k += 2
+                si += 2 * m.num_cols
+        Lmap = np.zeros((S, lat.num_labels + 1), dtype=np.float32)
+        for s in range(S):
+            Lmap[s, lat.state_label[s]] = 1.0
+        ent_sel = np.zeros((S, K), dtype=np.float32)
+        for k in range(K):
+            ent_sel[ent_state[k], k] = 1.0
+
+        # fused step matrices, layout (c, s) on the contraction axis
+        # Afwd[(c,s), t] = A[c][s, t] ; extra K columns = Aent
+        Afwd = np.concatenate([lat.A, lat.Aent], axis=2)  # [5, S, S+K]
+        Afwd = Afwd.reshape(5 * S, S + K)
+        # Abwd[(c,t), s] = A[c][s, t]
+        Abwd = np.swapaxes(lat.A, 1, 2).reshape(5 * S, S)
+
+        bar_segments = lat.bar_segments
+
+        def bar_fn(total_ent):
+            B = total_ent.shape[0]
+            if total_ent.shape[1] == 0:
+                return jnp.zeros((B,), jnp.float32)
+            per_f = total_ent[:, 0::2] + total_ent[:, 1::2]
+            logs = jnp.log(jnp.maximum(per_f, 1e-38))
+            out = jnp.zeros((B,), jnp.float32)
+            col = 0
+            for (lab0, Hn, j) in bar_segments:
+                seg = logs[:, col : col + Hn]
+                norm = jax.scipy.special.logsumexp(seg, axis=1)
+                best = jnp.max(seg[:, : Hn - 1], axis=1) - norm
+                out = out + best
+                col += Hn
+            return jnp.minimum(out, 0.0)
+
+        self._dev = {
+            "Afwd": jnp.asarray(Afwd),
+            "Abwd": jnp.asarray(Abwd),
+            "end": jnp.asarray(lat.end),
+            "Lmap": jnp.asarray(Lmap),
+            "ent_state": jnp.asarray(ent_state),
+            "ent_sel": jnp.asarray(ent_sel),
+            "tmat": jnp.asarray(lat.tmatrix),
+            "bg": jnp.asarray(lat.background),
+            "avg_len": jnp.float32(lat.avg_len),
+            "begin": lat.begin,
+            "S": S,
+            "K": K,
+            "bar_fn": bar_fn,
+        }
+        self._jit = jax.jit(functools.partial(_forward_backward, self._dev))
+
+    def run_batch(self, seqs: np.ndarray, lens: np.ndarray) -> TpuBatchResult:
+        """seqs [B, Lpad] uint8 (padded with 0), lens [B]."""
+        f_log, r_log, bar_log, labels, mapq = self._jit(
+            jnp.asarray(seqs.astype(np.int32)), jnp.asarray(lens.astype(np.int32))
+        )
+        return TpuBatchResult(
+            f_score=np.asarray(f_log),
+            r_score=np.asarray(r_log),
+            bar_prob=np.asarray(bar_log),
+            labels=np.asarray(labels),
+            mapq=np.asarray(mapq),
+        )
