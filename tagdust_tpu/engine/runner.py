@@ -63,6 +63,21 @@ def _build_batches(reads: List[Read], matchstart: int, matchend: int):
     return out
 
 
+_ENGINE_CACHE: dict = {}
+
+
+def get_engine(mb: ModelBag, kind: str):
+    key = (id(mb), kind)
+    if key not in _ENGINE_CACHE:
+        if kind == "tpu":
+            from .tpu import TpuEngine
+
+            _ENGINE_CACHE[key] = TpuEngine(mb)
+        else:
+            _ENGINE_CACHE[key] = ExactEngine(mb)
+    return _ENGINE_CACHE[key]
+
+
 def score_reads(
     mb: ModelBag,
     reads: List[Read],
@@ -70,11 +85,15 @@ def score_reads(
     matchend: int = -1,
     want_labels: bool = True,
     engine: Optional[ExactEngine] = None,
+    engine_kind: str = "exact",
 ):
     """backward + posterior decode + Q for every read; stores mapq (and
     labels) on the reads.  Mirrors do_label_thread / do_probability_estimation
     (barcode_hmm.c:2174-2340)."""
-    eng = engine or ExactEngine(mb)
+    if engine_kind == "tpu":
+        _score_reads_tpu(mb, reads, matchstart, matchend)
+        return
+    eng = engine or get_engine(mb, "exact")
     for L, idxs, seqs in _build_batches(reads, matchstart, matchend):
         if L <= 0:
             for idx in idxs:
@@ -88,6 +107,37 @@ def score_reads(
                 reads[idx].labels = res.labels[bi]
 
 
+def _score_reads_tpu(mb, reads, matchstart, matchend):
+    """TPU path: one padded rectangular batch per chunk (length bucketed to
+    multiples of 32 for compile-cache reuse)."""
+    eng = get_engine(mb, "tpu")
+    lens = []
+    for r in reads:
+        L = r.len
+        if matchstart != -1 or matchend != -1:
+            L = matchend - matchstart
+        lens.append(L)
+    if not lens:
+        return
+    Lmax = max(lens)
+    Lpad = ((Lmax + 31) // 32) * 32
+    B = len(reads)
+    Bpad = 1 << max(8, (B - 1).bit_length())
+    seqs = np.zeros((Bpad, Lpad), dtype=np.uint8)
+    lens_arr = np.ones(Bpad, dtype=np.int32)
+    for i, r in enumerate(reads):
+        if matchstart != -1 or matchend != -1:
+            sub = r.seq[matchstart:matchend]
+            seqs[i, : sub.shape[0]] = sub
+        else:
+            seqs[i, : r.len] = r.seq
+        lens_arr[i] = lens[i]
+    res = eng.run_batch(seqs, lens_arr)
+    for i, r in enumerate(reads):
+        r.mapq = float(res.mapq[i])
+        r.labels = res.labels[i]
+
+
 def run_get_label(
     mb: ModelBag,
     rs,
@@ -97,7 +147,11 @@ def run_get_label(
     contaminants=None,
 ) -> None:
     """MODE_GET_LABEL (do_label_thread, barcode_hmm.c:2269-2360)."""
-    score_reads(mb, reads, param.matchstart, param.matchend, want_labels=True)
+    kind = "tpu" if getattr(param, "engine", "auto") == "tpu" else "exact"
+    score_reads(
+        mb, reads, param.matchstart, param.matchend, want_labels=True,
+        engine_kind=kind,
+    )
     for r in reads:
         extract_read(
             mb,

@@ -1,0 +1,85 @@
+"""TPU engine (closure-lattice matmul scan) vs exact engine: decisions match.
+
+Runs on the virtual CPU mesh (conftest).  The TPU engine uses clean float32
+linear-space math rather than the reference's table-logsum, so scores agree
+only approximately — but label paths, extraction outcomes and barcode
+assignments must match.
+"""
+
+import numpy as np
+import pytest
+
+from tagdust_tpu.arch import build_read_structure
+from tagdust_tpu.engine.exact import ExactEngine
+from tagdust_tpu.extract import compute_q
+from tagdust_tpu.logsum import p2sp
+from tagdust_tpu.model import init_model_bag
+from tagdust_tpu.stats import SequenceStats
+
+
+def make_ssi(avg=30, mx=48):
+    ssi = SequenceStats()
+    ssi.average_length = avg
+    ssi.max_seq_len = mx
+    ssi.background = [float(p2sp(p)) for p in (0.27, 0.24, 0.26, 0.22, 0.01)]
+    ssi.mean_5_len = ssi.stdev_5_len = -1.0
+    ssi.mean_3_len = ssi.stdev_3_len = -1.0
+    return ssi
+
+
+ARCHS = [
+    ["B:ACGTAC,TGCATG,CCAAGG", "R:N"],
+    ["F:NNNN", "B:ACC,GGT", "R:N"],
+    ["S:TATA", "R:N"],
+]
+
+
+@pytest.mark.parametrize("specs", ARCHS, ids=["+".join(a) for a in ARCHS])
+def test_tpu_matches_exact_decisions(specs):
+    from tagdust_tpu.engine.tpu import TpuEngine
+
+    rs = build_read_structure(specs)
+    ssi = make_ssi()
+    mb = init_model_bag(rs, ssi, 0.05, 0.1)
+
+    rng = np.random.default_rng(3)
+    B, L = 64, 30
+    # half structured reads (barcode + random), half fully random
+    seqs = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    bc = np.frombuffer(b"\x00\x01\x02\x03\x00\x01", dtype=np.uint8)
+    for i in range(B // 2):
+        k = min(len(rs.seqs[0][0]), L)
+        for j, t in enumerate(rs.types):
+            pass
+        seqs[i, :k] = bc[:k]
+
+    lens = np.full(B, L, dtype=np.int32)
+    tpu = TpuEngine(mb)
+    res_t = tpu.run_batch(seqs, lens)
+
+    ex = ExactEngine(mb)
+    seqs_e = np.zeros((B, L + 1), dtype=np.uint8)
+    seqs_e[:, :L] = seqs
+    res_e = ex.run_batch(seqs_e, L)
+    q_e = compute_q(res_e.f_score, res_e.r_score, res_e.bar_prob)
+
+    # scores close, decisions identical
+    assert np.allclose(res_t.f_score, res_e.f_score, atol=0.01)
+    assert np.nanmax(np.abs(res_t.mapq - q_e)) < 0.1
+    assert np.array_equal(res_t.labels[:, 1 : L + 1], res_e.labels[:, 1 : L + 1])
+
+
+def test_graft_entry_compiles():
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert len(out) == 5
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
