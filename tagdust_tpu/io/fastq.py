@@ -168,6 +168,14 @@ class SeqReader:
             cols = raw.rstrip(b"\r\n").split(b"\t")
             if len(cols) < 11:
                 continue
+            # reference pipes SAM through `samtools view -F 768` (io.c:485):
+            # drop secondary (0x100) and QC-fail (0x200) records
+            try:
+                flag = int(cols[1])
+            except ValueError:
+                continue
+            if flag & 768:
+                continue
             r = Read(name=cols[0].decode("ascii", "replace"))
             r.mapq = float(cols[4])
             r.seq = NUC_CODE[np.frombuffer(cols[9], dtype=np.uint8)].copy()
