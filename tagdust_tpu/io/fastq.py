@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import bz2
 import gzip
+import os
 import subprocess
 from dataclasses import dataclass, field
 from typing import IO, List, Optional
@@ -92,15 +93,29 @@ def _open_stream(path: str, fmt: dict) -> IO[bytes]:
 
 
 class SeqReader:
-    """Streaming chunked reader over one sequence file."""
+    """Streaming chunked reader over one sequence file.
 
-    def __init__(self, path: str):
+    ``fast=True`` (or env TAGDUST_TPU_FAST_IO=1) switches FASTQ parsing to
+    the native codec (csrc/fastq_codec.cpp); results are identical for
+    well-formed files."""
+
+    def __init__(self, path: str, fast: Optional[bool] = None):
         self.path = path
         self.fmt = detect_format(path)
         self.stream = _open_stream(path, self.fmt)
         self.is_sam = self.fmt["sam"] in (1, 2)
         self.is_fasta = bool(self.fmt["fasta"])
         self._pending: Optional[bytes] = None
+        if fast is None:
+            fast = os.environ.get("TAGDUST_TPU_FAST_IO") == "1"
+        self._fast = None
+        if fast and not self.is_sam:
+            try:
+                from .native_io import FastParser
+
+                self._fast = FastParser(self.stream, self.is_fasta)
+            except Exception:
+                self._fast = None
 
     def close(self) -> None:
         try:
@@ -119,6 +134,8 @@ class SeqReader:
     def read_chunk(self, num_query: int) -> List[Read]:
         if self.is_sam:
             return self._read_sam_chunk(num_query)
+        if self._fast is not None:
+            return self._fast.read_records(num_query)
         return self._read_fasta_fastq_chunk(num_query)
 
     # -- FASTA / FASTQ (io.c:1684-1815) --
