@@ -78,7 +78,7 @@ def make_fused_scorer(
 
     # ---------------- backward kernel ----------------
     def bwd_kernel(
-        seq_ref,  # [BT, 1] i32 (column i-1)
+        seq_ref,  # [BT, Lp] i32
         lens_ref,  # [BT, 128] i32
         abwd_ref,  # [5Sp, Sp]
         end_ref,  # [Sp, 128]
@@ -101,7 +101,7 @@ def make_fused_scorer(
         bstack_ref[0] = b
         blstack_ref[0] = jnp.broadcast_to(bls, (BT, 128))
 
-        base = seq_ref[:, :]  # [BT,1]
+        base = seq_ref[:, pl.ds(Lp - 1 - k, 1)]  # column i-1, [BT,1]
         bn = _select_matmul(b, base, abwd_ref, Sp)
         m = jnp.max(bn, axis=1, keepdims=True)
         m = jnp.where(m > 0, m, 1.0)
@@ -118,7 +118,7 @@ def make_fused_scorer(
 
     # ---------------- forward kernel ----------------
     def fwd_kernel(
-        seq_ref,  # [BT, 1] (column k = i-1)
+        seq_ref,  # [BT, Lp]
         lens_ref,  # [BT, 128]
         afwd_ref,  # [5Sp, Sp+Kp]
         end_ref,  # [Sp, 128]
@@ -146,7 +146,7 @@ def make_fused_scorer(
         v = v_scr[:, :]
         fls = fls_scr[:, :1]
         tp = tp_scr[:, :]
-        base = seq_ref[:, :]
+        base = seq_ref[:, pl.ds(k, 1)]  # column i-1
         Y = _select_matmul(v, base, afwd_ref, Sp + Kp)
         vn = Y[:, :Sp]
         ve = Y[:, Sp:]
@@ -192,7 +192,7 @@ def make_fused_scorer(
             bwd_kernel,
             grid=(nbt, Lp),
             in_specs=[
-                pl.BlockSpec((BT, 1), lambda i, k: (i, Lp - 1 - k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BT, Lp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((5 * Sp, Sp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Sp, 128), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
@@ -218,7 +218,7 @@ def make_fused_scorer(
             fwd_kernel,
             grid=(nbt, Lp),
             in_specs=[
-                pl.BlockSpec((BT, 1), lambda i, k: (i, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BT, Lp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((5 * Sp, Sp + Kp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Sp, 128), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
