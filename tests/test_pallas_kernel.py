@@ -1,0 +1,47 @@
+"""Pallas fused kernels vs XLA scan engine: identical float32 results.
+
+Runs in interpreter mode on the CPU backend (conftest); on TPU hardware the
+same kernels compile via Mosaic."""
+
+import numpy as np
+import pytest
+
+from tagdust_tpu.arch import build_read_structure
+from tagdust_tpu.logsum import p2sp
+from tagdust_tpu.model import init_model_bag
+from tagdust_tpu.stats import SequenceStats
+
+
+def test_pallas_matches_xla_engine():
+    jnp = pytest.importorskip("jax.numpy")
+    import jax
+
+    from tagdust_tpu.engine import pallas_kernel as PK
+    from tagdust_tpu.engine.tpu import TpuEngine
+
+    rs = build_read_structure(["B:ACGTAC,TGCATG", "R:N"])
+    ssi = SequenceStats()
+    ssi.average_length = 20
+    ssi.max_seq_len = 32
+    ssi.background = [float(p2sp(p)) for p in (0.27, 0.24, 0.26, 0.22, 0.01)]
+    ssi.mean_5_len = ssi.stdev_5_len = -1.0
+    ssi.mean_3_len = ssi.stdev_3_len = -1.0
+    mb = init_model_bag(rs, ssi, 0.05, 0.1)
+    eng = TpuEngine(mb)
+    lat = eng.lat
+    Lmap = np.asarray(eng._dev["Lmap"])
+    ent_sel = np.asarray(eng._dev["ent_sel"])
+    Lp, BT = 16, 8
+    call, Sp, Kp, Hp = PK.make_fused_scorer(
+        lat.A, lat.Aent, lat.end, Lmap, ent_sel, lat.begin, Lp, BT, interpret=True
+    )
+    rng = np.random.default_rng(0)
+    B = 16
+    seqs = rng.integers(0, 4, (B, Lp)).astype(np.int32)
+    lens = np.full(B, 14, dtype=np.int32)
+    lens[3] = 10  # ragged batch
+    f_log, logpb, plab, tp = call(jnp.asarray(seqs), jnp.asarray(lens))
+    ref = eng.run_batch(seqs.astype(np.uint8), lens)
+    np.testing.assert_allclose(np.asarray(f_log), ref.f_score, atol=1e-5)
+    bar = np.asarray(eng._dev["bar_fn"](jnp.asarray(np.asarray(tp))))
+    np.testing.assert_allclose(bar, ref.bar_prob, atol=1e-5)
