@@ -101,7 +101,12 @@ def make_fused_scorer(
         bstack_ref[0] = b
         blstack_ref[0] = jnp.broadcast_to(bls, (BT, 128))
 
-        base = seq_ref[:, pl.ds(Lp - 1 - k, 1)]  # column i-1, [BT,1]
+        # dynamic single-lane reads are unsupported on TPU: extract the
+        # column with an iota mask + lane reduction instead
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, Lp), 1)
+        base = jnp.sum(
+            jnp.where(lane == (Lp - 1 - k), seq_ref[:, :], 0), axis=1, keepdims=True
+        )
         bn = _select_matmul(b, base, abwd_ref, Sp)
         m = jnp.max(bn, axis=1, keepdims=True)
         m = jnp.where(m > 0, m, 1.0)
@@ -146,7 +151,10 @@ def make_fused_scorer(
         v = v_scr[:, :]
         fls = fls_scr[:, :1]
         tp = tp_scr[:, :]
-        base = seq_ref[:, pl.ds(k, 1)]  # column i-1
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, Lp), 1)
+        base = jnp.sum(
+            jnp.where(lane == k, seq_ref[:, :], 0), axis=1, keepdims=True
+        )
         Y = _select_matmul(v, base, afwd_ref, Sp + Kp)
         vn = Y[:, :Sp]
         ve = Y[:, Sp:]
