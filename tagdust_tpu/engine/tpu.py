@@ -250,3 +250,113 @@ class TpuEngine:
             labels=np.asarray(labels),
             mapq=np.asarray(mapq),
         )
+
+    # ---------------- fused Pallas path ----------------
+    def _get_pallas(self, Lp: int, BT: int = 256):
+        key = (Lp, BT)
+        if not hasattr(self, "_pallas_cache"):
+            self._pallas_cache = {}
+        if key not in self._pallas_cache:
+            from . import pallas_kernel as PK
+
+            lat = self.lat
+            interp = jax.default_backend() == "cpu"
+            call, _, _, Hp = PK.make_fused_scorer(
+                lat.A,
+                lat.Aent,
+                lat.end,
+                np.asarray(self._dev["Lmap"]),
+                np.asarray(self._dev["ent_sel"]),
+                lat.begin,
+                Lp,
+                BT,
+                interpret=interp,
+            )
+            lat_dev = self._dev
+            H = lat.num_labels
+            tmat = lat_dev["tmat"]
+            bg = lat_dev["bg"]
+            avg_len = lat_dev["avg_len"]
+            bar_fn = lat_dev["bar_fn"]
+
+            def post(seqs, lens, f_log, plab, tp):
+                B = seqs.shape[0]
+                pos = jnp.arange(Lp)
+                active = pos[None, :] < lens[:, None]
+                jidx = jnp.arange(H, dtype=jnp.int32)[None, :]
+
+                def dp_step(carry, x):
+                    dp = carry
+                    pl_, act = x
+                    scores = dp[:, :, None] * tmat[None, :, :]
+                    mv = jnp.argmax(scores, axis=1).astype(jnp.int32)
+                    mx = jnp.max(scores, axis=1)
+                    diag = dp * jnp.diagonal(tmat)[None, :]
+                    mv = jnp.where(diag == mx, jidx, mv)
+                    ndp = pl_[:, :H] + mx
+                    ndp = jnp.where(act[:, None], ndp, dp)
+                    mv = jnp.where(act[:, None], mv, jidx)
+                    return ndp, mv.astype(jnp.int8)
+
+                dp0 = jnp.zeros((B, H), jnp.float32)
+                dpfin, path = jax.lax.scan(dp_step, dp0, (plab, active.T))
+                last = jnp.argmax(dpfin, axis=1).astype(jnp.int32)
+
+                def tb_step(move, pth):
+                    nm = jnp.take_along_axis(
+                        pth.astype(jnp.int32), move[:, None], axis=1
+                    )[:, 0]
+                    return nm, nm
+
+                _, lab_rev = jax.lax.scan(tb_step, last, path[::-1])
+                labels = jnp.concatenate(
+                    [lab_rev[::-1], last[None, :]], axis=0
+                ).T
+
+                bar_log = bar_fn(tp)
+                bg_l = jnp.log(bg)
+                r_per = jnp.log1p(-1.0 / avg_len)
+                r_log = (
+                    jnp.sum(jnp.where(active, bg_l[seqs], 0.0), axis=1)
+                    + lens.astype(jnp.float32) * r_per
+                    + jnp.log(1.0 / avg_len)
+                )
+                denom = jnp.logaddexp(f_log, r_log)
+                p_right = jnp.exp(bar_log + f_log - denom)
+                p_wrong = jnp.clip(1.0 - p_right, 0.0, 1.0)
+                mapq = jnp.where(
+                    p_wrong <= 0.0,
+                    40.0,
+                    jnp.where(p_wrong >= 1.0, 0.0, -10.0 * jnp.log10(p_wrong)),
+                )
+                return r_log, bar_log, labels, jnp.clip(mapq, 0.0, 40.0)
+
+            post_jit = jax.jit(post)
+
+            def full(seqs, lens):
+                f_log, logpb, plab, tp = call(seqs, lens)
+                return (f_log,) + post_jit(seqs, lens, f_log, plab, tp)
+
+            self._pallas_cache[key] = (full, BT)
+        return self._pallas_cache[key]
+
+    def run_batch_pallas(self, seqs: np.ndarray, lens: np.ndarray) -> TpuBatchResult:
+        """Fused-kernel path; B must be a multiple of the tile (padded here)."""
+        B, Lp = seqs.shape
+        fullfn, BT = self._get_pallas(Lp)
+        pad = (-B) % BT
+        if pad:
+            seqs = np.concatenate(
+                [seqs, np.zeros((pad, Lp), seqs.dtype)], axis=0
+            )
+            lens = np.concatenate([lens, np.ones(pad, lens.dtype)])
+        f_log, r_log, bar_log, labels, mapq = fullfn(
+            jnp.asarray(seqs.astype(np.int32)), jnp.asarray(lens.astype(np.int32))
+        )
+        return TpuBatchResult(
+            f_score=np.asarray(f_log)[:B],
+            r_score=np.asarray(r_log)[:B],
+            bar_prob=np.asarray(bar_log)[:B],
+            labels=np.asarray(labels)[:B],
+            mapq=np.asarray(mapq)[:B],
+        )
