@@ -62,7 +62,15 @@ def main(argv=None) -> None:
 
     log = MessageLog()
     log("Start Run\n--------------------------------------------------\n")
-    hmm_controller_multiple(param, log=log)
+    if param.profile_dir:
+        # tracing subsystem: device + host profile written for TensorBoard /
+        # xprof (the reference only has timestamped log lines, misc.c:285)
+        import jax
+
+        with jax.profiler.trace(param.profile_dir):
+            hmm_controller_multiple(param, log=log)
+    else:
+        hmm_controller_multiple(param, log=log)
 
 
 if __name__ == "__main__":

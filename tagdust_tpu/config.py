@@ -85,6 +85,7 @@ class Params:
     # framework extensions
     rtest: bool = False
     engine: str = "auto"
+    profile_dir: Optional[str] = None
     show_help: bool = False
     show_version: bool = False
 
@@ -132,6 +133,7 @@ _OPTS = {
     # framework extensions
     "rtest": ("rtest", None),
     "engine": ("engine", str),
+    "profile": ("profile_dir", str),
 }
 
 # short single-char options "Q:e:o:p:q:hvf:t:i:l:L:a:" (interface.c:183)
