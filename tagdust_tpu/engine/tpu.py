@@ -331,13 +331,11 @@ class TpuEngine:
                 )
                 return r_log, bar_log, labels, jnp.clip(mapq, 0.0, 40.0)
 
-            post_jit = jax.jit(post)
-
             def full(seqs, lens):
                 f_log, logpb, plab, tp = call(seqs, lens)
-                return (f_log,) + post_jit(seqs, lens, f_log, plab, tp)
+                return (f_log,) + post(seqs, lens, f_log, plab, tp)
 
-            self._pallas_cache[key] = (full, BT)
+            self._pallas_cache[key] = (jax.jit(full), BT)
         return self._pallas_cache[key]
 
     def run_batch_pallas(self, seqs: np.ndarray, lens: np.ndarray) -> TpuBatchResult:
