@@ -42,14 +42,26 @@ def make_fused_scorer(
     Lp: int,
     BT: int = 256,
     interpret: bool = False,
+    tmatrix: np.ndarray = None,  # [H, H] 0/1 label-compatibility
 ):
     """Returns fn(seqs [B, Lp] i32, lens [B] i32) ->
-    (f_log [B], logP_b [B], plab [Lp, B, Hp], tp [B, K])."""
+    (f_log [B], logP_b [B], labels [B, Lp+1] i32, tp [B, K]).
+
+    The optimal-accuracy label DP (barcode_hmm.c:4451-4514) is fused into the
+    forward kernel (unrolled max-plus over the H labels) and a third tiny
+    kernel runs the traceback, so the whole per-read pipeline is three Pallas
+    kernels with no XLA scans."""
     S = A.shape[1]
     K = Aent.shape[2]
+    H = tmatrix.shape[0]
     Sp = _round_up(S, 128)
     Kp = _round_up(max(K, 1), 128)
     Hp = _round_up(Lmap.shape[1], 128)
+    tmp_ = np.zeros((Hp, Hp), dtype=np.float32)
+    tmp_[:H, :H] = tmatrix
+    tmatp = tmp_
+    diagp = np.zeros((8, Hp), dtype=np.float32)
+    diagp[0, :H] = np.diagonal(tmatrix)
 
     Afwd = np.zeros((5 * Sp, Sp + Kp), dtype=np.float32)
     Abwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
@@ -129,15 +141,19 @@ def make_fused_scorer(
         end_ref,  # [Sp, 128]
         lmap_ref,  # [Sp, Hp]
         entsel_ref,  # [Sp, Kp]
+        tmat_ref,  # [Hp, Hp]
+        diag_ref,  # [8, Hp]
         bstack_ref,  # in [1, BT, Sp]   (slot i = k+1)
         blstack_ref,  # in [1, BT, 128]
         logpb_ref,  # in [BT, 128]
-        plab_ref,  # out [1, BT, Hp]
+        path_ref,  # out [1, BT, Hp] i32
+        dpfin_ref,  # out [BT, Hp]
         flog_ref,  # out [BT, 128]
         tp_ref,  # out [BT, Kp]
         v_scr,  # scratch [BT, Sp]
         fls_scr,  # scratch [BT, 128]
         tp_scr,  # scratch [BT, Kp]
+        dp_scr,  # scratch [BT, Hp]
     ):
         k = pl.program_id(1)
 
@@ -147,6 +163,7 @@ def make_fused_scorer(
             v_scr[:, :] = jnp.where(col == begin, 1.0, 0.0).astype(jnp.float32)
             fls_scr[:, :] = jnp.zeros((BT, 128), jnp.float32)
             tp_scr[:, :] = jnp.zeros((BT, Kp), jnp.float32)
+            dp_scr[:, :] = jnp.zeros((BT, Hp), jnp.float32)
 
         v = v_scr[:, :]
         fls = fls_scr[:, :1]
@@ -179,17 +196,68 @@ def make_fused_scorer(
         v_scr[:, :] = v
         fls_scr[:, :] = jnp.broadcast_to(fls, (BT, 128))
         tp_scr[:, :] = tp
-        plab_ref[0] = plab
+        # ---- fused optimal-accuracy label DP step (barcode_hmm.c:4451) ----
+        dp = dp_scr[:, :]
+        mx = jnp.full((BT, Hp), -1.0, jnp.float32)
+        mv = jnp.full((BT, Hp), -1, jnp.int32)
+        for c in range(H):
+            cand = dp[:, c : c + 1] * tmat_ref[c : c + 1, :]
+            gt = cand > mx
+            mv = jnp.where(gt, c, mv)
+            mx = jnp.where(gt, cand, mx)
+        diag = dp * diag_ref[:1, :]
+        jrow = jax.lax.broadcasted_iota(jnp.int32, (BT, Hp), 1)
+        mv = jnp.where(diag == mx, jrow, mv)
+        ndp = plab + mx
+        dp = jnp.where(act, ndp, dp)
+        mv = jnp.where(act, mv, jrow)
+        dp_scr[:, :] = dp
+        path_ref[0] = mv
+        dpfin_ref[:, :] = dp
         f_lin = jnp.dot(v, end_ref[:, :], preferred_element_type=jnp.float32)[:, :1]
         flog = jnp.log(jnp.maximum(f_lin, 1e-38)) + fls
         flog_ref[:, :] = jnp.broadcast_to(flog, (BT, 128))
         tp_ref[:, :] = tp
+
+    # ---------------- traceback kernel ----------------
+    # labels accumulate in a [BT, 128] VMEM buffer (lane = read position,
+    # written via iota masks — TPU has no dynamic lane stores); the buffer
+    # flushes once per read tile.  Requires Lp <= 127.
+    def tb_kernel(
+        path_ref,  # in [1, BT, Hp] i32 (step i = Lp-k)
+        dpfin_ref,  # in [BT, Hp] f32
+        labels_ref,  # out [BT, 128] i32
+        mv_scr,  # scratch [BT, 128] i32
+        lab_scr,  # scratch [BT, 128] i32
+    ):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            last = jnp.argmax(dpfin_ref[:, :], axis=1).astype(jnp.int32)
+            mv_scr[:, :] = jnp.broadcast_to(last[:, None], (BT, 128))
+            lab_scr[:, :] = jnp.zeros((BT, 128), jnp.int32)
+
+        move = mv_scr[:, :1]  # [BT,1]
+        i = Lp - k
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+        lab = jnp.where(lane128 == i, move, lab_scr[:, :])
+        lab_scr[:, :] = lab
+        labels_ref[:, :] = lab
+        # move = path[i][move] via one-hot lane reduction
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, Hp), 1)
+        oh = (lane == move).astype(jnp.float32)
+        pf = path_ref[0].astype(jnp.float32)
+        nm = jnp.sum(pf * oh, axis=1, keepdims=True).astype(jnp.int32)
+        mv_scr[:, :] = jnp.broadcast_to(nm, (BT, 128))
 
     Afwd_j = jnp.asarray(Afwd)
     Abwd_j = jnp.asarray(Abwd)
     endp_j = jnp.asarray(endp)
     lmapp_j = jnp.asarray(lmapp)
     entp_j = jnp.asarray(entp)
+    tmatp_j = jnp.asarray(tmatp)
+    diagp_j = jnp.asarray(diagp)
 
     def call(seqs, lens):
         B = seqs.shape[0]
@@ -222,7 +290,7 @@ def make_fused_scorer(
             interpret=interpret,
         )(seqs, lens_b, Abwd_j, endp_j)
 
-        plab, flog, tpout = pl.pallas_call(
+        path, dpfin, flog, tpout = pl.pallas_call(
             fwd_kernel,
             grid=(nbt, Lp),
             in_specs=[
@@ -232,17 +300,21 @@ def make_fused_scorer(
                 pl.BlockSpec((Sp, 128), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Sp, Hp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Sp, Kp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Hp, Hp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, Hp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BT, Sp), lambda i, k: (k + 1, i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, BT, 128), lambda i, k: (k + 1, i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((1, BT, Hp), lambda i, k: (k, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BT, Hp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BT, Kp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((Lp, B, Hp), jnp.float32),
+                jax.ShapeDtypeStruct((Lp, B, Hp), jnp.int32),
+                jax.ShapeDtypeStruct((B, Hp), jnp.float32),
                 jax.ShapeDtypeStruct((B, 128), jnp.float32),
                 jax.ShapeDtypeStruct((B, Kp), jnp.float32),
             ],
@@ -250,10 +322,29 @@ def make_fused_scorer(
                 pltpu.VMEM((BT, Sp), jnp.float32),
                 pltpu.VMEM((BT, 128), jnp.float32),
                 pltpu.VMEM((BT, Kp), jnp.float32),
+                pltpu.VMEM((BT, Hp), jnp.float32),
             ],
             interpret=interpret,
-        )(seqs, lens_b, Afwd_j, endp_j, lmapp_j, entp_j, bstack, blstack, logpb)
+        )(seqs, lens_b, Afwd_j, endp_j, lmapp_j, entp_j, tmatp_j, diagp_j,
+          bstack, blstack, logpb)
 
-        return flog[:, 0], logpb[:, 0], plab, (tpout[:, :K] if K else tpout[:, :0])
+        labels128 = pl.pallas_call(
+            tb_kernel,
+            grid=(nbt, Lp),
+            in_specs=[
+                pl.BlockSpec((1, BT, Hp), lambda i, k: (Lp - 1 - k, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BT, Hp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((BT, 128), jnp.int32),
+                pltpu.VMEM((BT, 128), jnp.int32),
+            ],
+            interpret=interpret,
+        )(path, dpfin)
+        labels = labels128[:, : Lp + 1]  # [B, Lp+1]; slot 0 is the pre-read slot
+
+        return flog[:, 0], logpb[:, 0], labels, (tpout[:, :K] if K else tpout[:, :0])
 
     return call, Sp, Kp, Hp

@@ -271,48 +271,17 @@ class TpuEngine:
                 Lp,
                 BT,
                 interpret=interp,
+                tmatrix=np.asarray(self._dev["tmat"]),
             )
             lat_dev = self._dev
-            H = lat.num_labels
-            tmat = lat_dev["tmat"]
             bg = lat_dev["bg"]
             avg_len = lat_dev["avg_len"]
             bar_fn = lat_dev["bar_fn"]
 
-            def post(seqs, lens, f_log, plab, tp):
-                B = seqs.shape[0]
+            def full(seqs, lens):
+                f_log, logpb, labels, tp = call(seqs, lens)
                 pos = jnp.arange(Lp)
                 active = pos[None, :] < lens[:, None]
-                jidx = jnp.arange(H, dtype=jnp.int32)[None, :]
-
-                def dp_step(carry, x):
-                    dp = carry
-                    pl_, act = x
-                    scores = dp[:, :, None] * tmat[None, :, :]
-                    mv = jnp.argmax(scores, axis=1).astype(jnp.int32)
-                    mx = jnp.max(scores, axis=1)
-                    diag = dp * jnp.diagonal(tmat)[None, :]
-                    mv = jnp.where(diag == mx, jidx, mv)
-                    ndp = pl_[:, :H] + mx
-                    ndp = jnp.where(act[:, None], ndp, dp)
-                    mv = jnp.where(act[:, None], mv, jidx)
-                    return ndp, mv.astype(jnp.int8)
-
-                dp0 = jnp.zeros((B, H), jnp.float32)
-                dpfin, path = jax.lax.scan(dp_step, dp0, (plab, active.T))
-                last = jnp.argmax(dpfin, axis=1).astype(jnp.int32)
-
-                def tb_step(move, pth):
-                    nm = jnp.take_along_axis(
-                        pth.astype(jnp.int32), move[:, None], axis=1
-                    )[:, 0]
-                    return nm, nm
-
-                _, lab_rev = jax.lax.scan(tb_step, last, path[::-1])
-                labels = jnp.concatenate(
-                    [lab_rev[::-1], last[None, :]], axis=0
-                ).T
-
                 bar_log = bar_fn(tp)
                 bg_l = jnp.log(bg)
                 r_per = jnp.log1p(-1.0 / avg_len)
@@ -329,11 +298,7 @@ class TpuEngine:
                     40.0,
                     jnp.where(p_wrong >= 1.0, 0.0, -10.0 * jnp.log10(p_wrong)),
                 )
-                return r_log, bar_log, labels, jnp.clip(mapq, 0.0, 40.0)
-
-            def full(seqs, lens):
-                f_log, logpb, plab, tp = call(seqs, lens)
-                return (f_log,) + post(seqs, lens, f_log, plab, tp)
+                return f_log, r_log, bar_log, labels, jnp.clip(mapq, 0.0, 40.0)
 
             self._pallas_cache[key] = (jax.jit(full), BT)
         return self._pallas_cache[key]

@@ -33,15 +33,22 @@ def test_pallas_matches_xla_engine():
     ent_sel = np.asarray(eng._dev["ent_sel"])
     Lp, BT = 16, 8
     call, Sp, Kp, Hp = PK.make_fused_scorer(
-        lat.A, lat.Aent, lat.end, Lmap, ent_sel, lat.begin, Lp, BT, interpret=True
+        lat.A, lat.Aent, lat.end, Lmap, ent_sel, lat.begin, Lp, BT,
+        interpret=True, tmatrix=np.asarray(eng._dev["tmat"]),
     )
     rng = np.random.default_rng(0)
     B = 16
     seqs = rng.integers(0, 4, (B, Lp)).astype(np.int32)
     lens = np.full(B, 14, dtype=np.int32)
     lens[3] = 10  # ragged batch
-    f_log, logpb, plab, tp = call(jnp.asarray(seqs), jnp.asarray(lens))
+    f_log, logpb, labels, tp = call(jnp.asarray(seqs), jnp.asarray(lens))
     ref = eng.run_batch(seqs.astype(np.uint8), lens)
     np.testing.assert_allclose(np.asarray(f_log), ref.f_score, atol=1e-5)
     bar = np.asarray(eng._dev["bar_fn"](jnp.asarray(np.asarray(tp))))
     np.testing.assert_allclose(bar, ref.bar_prob, atol=1e-5)
+    labels = np.asarray(labels)
+    for b in range(B):
+        L = int(lens[b])
+        np.testing.assert_array_equal(
+            labels[b, 1 : L + 1], ref.labels[b, 1 : L + 1]
+        )
