@@ -38,7 +38,7 @@ extern "C" {
 //   name_off/name_len: header byte ranges (after '@')
 //   seq_arena: 0-5 codes, concatenated; seq_off/seq_len index into it
 //   qual_off/qual_len: quality byte ranges in buf (len 0 = absent)
-long td_parse_fastq(const char* buf, long n, long max_records,
+long td_parse_fastq(const char* buf, long n, long max_records, int at_eof,
                     long* name_off, int* name_len, uint8_t* seq_arena,
                     long seq_arena_cap, long* seq_off, int* seq_len,
                     long* qual_off, int* qual_len, long* consumed) {
@@ -59,13 +59,13 @@ long td_parse_fastq(const char* buf, long n, long max_records,
         long hstart = pos + 1;
         long p = hstart;
         while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
-        if (p >= n) break;  // incomplete record
+        if (p >= n) break;  // incomplete header
         long hend = p;
         while (p < n && (buf[p] == '\n' || buf[p] == '\r')) p++;
         // sequence line
         long sstart = p;
         while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
-        if (p >= n && !fasta) break;
+        if (p >= n && !(fasta && at_eof)) break;
         long send = p;
         while (p < n && (buf[p] == '\n' || buf[p] == '\r')) p++;
         long slen = send - sstart;
@@ -77,7 +77,7 @@ long td_parse_fastq(const char* buf, long n, long max_records,
             p++;
             qstart = p;
             while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
-            if (p > n) break;
+            if (p >= n && !at_eof) break;  // qual line may be truncated
             long qend = p;
             if (qend - qstart != slen) {
                 // malformed; fail hard like the reference length check

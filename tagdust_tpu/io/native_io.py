@@ -80,6 +80,7 @@ class FastParser:
                 buf,
                 ctypes.c_long(n),
                 ctypes.c_long(want),
+                ctypes.c_int(1 if self.eof else 0),
                 name_off.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
                 name_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                 arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

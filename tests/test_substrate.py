@@ -112,3 +112,34 @@ def test_name_check_generic_and_casava():
     n3 = "EAS139:136:FC706VJ:2:2104:15343:197394 2:Y:18:ATCACG"
     assert compare_read_names(n1, n3) == 1
     reset_detection()
+
+
+def test_native_fastq_codec_equivalence(tmp_path):
+    import os
+    import random
+
+    from tagdust_tpu.io.fastq import SeqReader
+
+    random.seed(9)
+    p = str(tmp_path / "x.fq")
+    with open(p, "w") as f:
+        for i in range(5000):
+            L = random.randint(5, 80)
+            seq = "".join(random.choice("ACGTN") for _ in range(L))
+            f.write(f"@r{i} extra info\n{seq}\n+\n{'I' * L}\n")
+    outs = []
+    for fast in (False, True):
+        r = SeqReader(p, fast=fast)
+        reads = []
+        while True:
+            c = r.read_chunk(777)  # force chunk boundaries
+            if not c:
+                break
+            reads.extend(c)
+        r.close()
+        outs.append(reads)
+    a, b = outs
+    assert len(a) == len(b) == 5000
+    for x, y in zip(a, b):
+        assert x.name == y.name and x.qual == y.qual
+        assert np.array_equal(x.seq, y.seq)
