@@ -132,7 +132,13 @@ def _score_reads_tpu(mb, reads, matchstart, matchend):
         else:
             seqs[i, : r.len] = r.seq
         lens_arr[i] = lens[i]
-    res = eng.run_batch(seqs, lens_arr)
+    try:
+        if Lpad <= 127:
+            res = eng.run_batch_pallas(seqs, lens_arr)
+        else:
+            res = eng.run_batch(seqs, lens_arr)
+    except Exception:
+        res = eng.run_batch(seqs, lens_arr)
     for i, r in enumerate(reads):
         r.mapq = float(res.mapq[i])
         r.labels = res.labels[i]
