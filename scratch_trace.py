@@ -1,0 +1,17 @@
+import os, sys, time, glob, gzip, json
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+import numpy as np, jax, jax.numpy as jnp
+from __graft_entry__ import _flagship_engine
+eng = _flagship_engine()
+L, B = 64, 16384
+rng = np.random.default_rng(0)
+seqs = jnp.asarray(rng.integers(0, 4, (B, L)).astype(np.int32))
+lens = jnp.asarray(np.full(B, 56, dtype=np.int32))
+fullfn, BT = eng._get_pallas(L)
+jax.block_until_ready(fullfn(seqs, lens))
+with jax.profiler.trace("/tmp/jtrace"):
+    for _ in range(3):
+        jax.block_until_ready(fullfn(seqs, lens))
+files = glob.glob("/tmp/jtrace/**/*.trace.json.gz", recursive=True)
+print(files)

@@ -220,15 +220,18 @@ def make_fused_scorer(
         tp_ref[:, :] = tp
 
     # ---------------- traceback kernel ----------------
-    # labels accumulate in a [BT, 128] VMEM buffer (lane = read position,
+    # labels accumulate in a [BT, Wp] VMEM buffer (lane = read position,
     # written via iota masks — TPU has no dynamic lane stores); the buffer
-    # flushes once per read tile.  Requires Lp <= 127.
+    # flushes once per read tile.  Wp is Lp+1 slots rounded up to the
+    # 128-lane bank size, so any read length fits.
+    Wp = _round_up(Lp + 2, 128)
+
     def tb_kernel(
         path_ref,  # in [1, BT, Hp] i32 (step i = Lp-k)
         dpfin_ref,  # in [BT, Hp] f32
-        labels_ref,  # out [BT, 128] i32
+        labels_ref,  # out [BT, Wp] i32
         mv_scr,  # scratch [BT, 128] i32
-        lab_scr,  # scratch [BT, 128] i32
+        lab_scr,  # scratch [BT, Wp] i32
     ):
         k = pl.program_id(1)
 
@@ -236,11 +239,11 @@ def make_fused_scorer(
         def _():
             last = jnp.argmax(dpfin_ref[:, :], axis=1).astype(jnp.int32)
             mv_scr[:, :] = jnp.broadcast_to(last[:, None], (BT, 128))
-            lab_scr[:, :] = jnp.zeros((BT, 128), jnp.int32)
+            lab_scr[:, :] = jnp.zeros((BT, Wp), jnp.int32)
 
         move = mv_scr[:, :1]  # [BT,1]
         i = Lp - k
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, Wp), 1)
         lab = jnp.where(lane128 == i, move, lab_scr[:, :])
         lab_scr[:, :] = lab
         labels_ref[:, :] = lab
@@ -328,22 +331,22 @@ def make_fused_scorer(
         )(seqs, lens_b, Afwd_j, endp_j, lmapp_j, entp_j, tmatp_j, diagp_j,
           bstack, blstack, logpb)
 
-        labels128 = pl.pallas_call(
+        labels_w = pl.pallas_call(
             tb_kernel,
             grid=(nbt, Lp),
             in_specs=[
                 pl.BlockSpec((1, BT, Hp), lambda i, k: (Lp - 1 - k, i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BT, Hp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
+            out_specs=pl.BlockSpec((BT, Wp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, Wp), jnp.int32),
             scratch_shapes=[
                 pltpu.VMEM((BT, 128), jnp.int32),
-                pltpu.VMEM((BT, 128), jnp.int32),
+                pltpu.VMEM((BT, Wp), jnp.int32),
             ],
             interpret=interpret,
         )(path, dpfin)
-        labels = labels128[:, : Lp + 1]  # [B, Lp+1]; slot 0 is the pre-read slot
+        labels = labels_w[:, : Lp + 1]  # [B, Lp+1]; slot 0 is the pre-read slot
 
         return flog[:, 0], logpb[:, 0], labels, (tpout[:, :K] if K else tpout[:, :0])
 

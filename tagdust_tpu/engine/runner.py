@@ -20,7 +20,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..constants import EXTRACT_SUCCESS
-from ..extract import compute_q, extract_read
+from ..extract import compute_q, extract_batch, extract_read
 from ..filters import dust_reads, match_to_reference
 from ..io.fastq import Read
 from ..model import ModelBag
@@ -91,8 +91,7 @@ def score_reads(
     labels) on the reads.  Mirrors do_label_thread / do_probability_estimation
     (barcode_hmm.c:2174-2340)."""
     if engine_kind == "tpu":
-        _score_reads_tpu(mb, reads, matchstart, matchend)
-        return
+        return _score_reads_tpu(mb, reads, matchstart, matchend)
     eng = engine or get_engine(mb, "exact")
     for L, idxs, seqs in _build_batches(reads, matchstart, matchend):
         if L <= 0:
@@ -133,7 +132,7 @@ def _score_reads_tpu(mb, reads, matchstart, matchend):
             seqs[i, : r.len] = r.seq
         lens_arr[i] = lens[i]
     try:
-        if Lpad <= 127:
+        if Lpad <= 4096:
             res = eng.run_batch_pallas(seqs, lens_arr)
         else:
             res = eng.run_batch(seqs, lens_arr)
@@ -142,6 +141,7 @@ def _score_reads_tpu(mb, reads, matchstart, matchend):
     for i, r in enumerate(reads):
         r.mapq = float(res.mapq[i])
         r.labels = res.labels[i]
+    return res.labels[:B]
 
 
 def run_get_label(
@@ -154,21 +154,35 @@ def run_get_label(
 ) -> None:
     """MODE_GET_LABEL (do_label_thread, barcode_hmm.c:2269-2360)."""
     kind = "tpu" if getattr(param, "engine", "auto") == "tpu" else "exact"
-    score_reads(
+    labels_mat = score_reads(
         mb, reads, param.matchstart, param.matchend, want_labels=True,
         engine_kind=kind,
     )
-    for r in reads:
-        extract_read(
+    if labels_mat is not None:
+        # batched engines return the [B, Lpad+1] label matrix: extraction is
+        # one vectorised pass instead of a per-base Python walk per read
+        extract_batch(
             mb,
             rs,
-            r,
-            r.labels,
+            reads,
+            labels_mat,
             param.minlen,
             confidence_threshold,
             param.matchstart,
             param.matchend,
         )
+    else:
+        for r in reads:
+            extract_read(
+                mb,
+                rs,
+                r,
+                r.labels,
+                param.minlen,
+                confidence_threshold,
+                param.matchstart,
+                param.matchend,
+            )
     _apply_filters(reads, param, contaminants)
 
 

@@ -303,18 +303,35 @@ class TpuEngine:
             self._pallas_cache[key] = (jax.jit(full), BT)
         return self._pallas_cache[key]
 
+    # HBM budget for the backward stack ((Lp+1) * B * (Sp+128) * 4 bytes):
+    # long reads are scored in sub-batches that keep the stack bounded.
+    _PALLAS_STACK_BYTES = 2 << 30
+
     def run_batch_pallas(self, seqs: np.ndarray, lens: np.ndarray) -> TpuBatchResult:
         """Fused-kernel path; B must be a multiple of the tile (padded here)."""
         B, Lp = seqs.shape
         fullfn, BT = self._get_pallas(Lp)
+        Sp = (self.lat.S + 127) // 128 * 128
+        max_b = self._PALLAS_STACK_BYTES // ((Lp + 1) * (Sp + 128) * 4)
+        max_b = max(BT, max_b // BT * BT)
         pad = (-B) % BT
         if pad:
             seqs = np.concatenate(
                 [seqs, np.zeros((pad, Lp), seqs.dtype)], axis=0
             )
             lens = np.concatenate([lens, np.ones(pad, lens.dtype)])
-        f_log, r_log, bar_log, labels, mapq = fullfn(
-            jnp.asarray(seqs.astype(np.int32)), jnp.asarray(lens.astype(np.int32))
+        outs = []
+        for s in range(0, seqs.shape[0], max_b):
+            outs.append(
+                fullfn(
+                    jnp.asarray(seqs[s : s + max_b].astype(np.int32)),
+                    jnp.asarray(lens[s : s + max_b].astype(np.int32)),
+                )
+            )
+        f_log, r_log, bar_log, labels, mapq = (
+            outs[0]
+            if len(outs) == 1
+            else tuple(jnp.concatenate(parts, axis=0) for parts in zip(*outs))
         )
         return TpuBatchResult(
             f_score=np.asarray(f_log)[:B],

@@ -159,6 +159,160 @@ def extract_read(
         read.read_type = EXTRACT_FAIL_ARCHITECTURE_MISMATCH
 
 
+def extract_batch(
+    mb: ModelBag,
+    rs,
+    reads,
+    labels: np.ndarray,
+    minlen: int,
+    confidence_threshold: float,
+    matchstart: int = -1,
+    matchend: int = -1,
+) -> None:
+    """Vectorised extract_reads (barcode_hmm.c:3172-3356) over a whole chunk.
+
+    Same observable behaviour as calling :func:`extract_read` per read (the
+    equality is asserted by tests), but all per-base work is NumPy array ops
+    over the ``[B, L]`` label matrix — this is the production path that keeps
+    the host side out of per-base Python loops.
+
+    ``labels`` is the ``[B, Lpad+1]`` int32 matrix from the batched engines
+    (slot 0 = pre-read slot).
+    """
+    B = len(reads)
+    if B == 0:
+        return
+    offset = 0
+    sub = matchstart != -1 or matchend != -1
+    if sub:
+        offset = matchstart
+
+    full_lens = np.fromiter((r.len for r in reads), dtype=np.int64, count=B)
+    dec_lens = (
+        np.full(B, matchend - matchstart, dtype=np.int64) if sub else full_lens
+    )
+    Lfull = int(full_lens.max(initial=0))
+    Ldec = max(int(dec_lens.max(initial=0)), 1)  # keep [B, Ldec] ops non-empty
+    Lpad1 = labels.shape[1]
+
+    seq = np.zeros((B, Lfull), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        seq[i, : r.len] = r.seq
+
+    required_finger_len = 0
+    for j in range(rs.num_segments):
+        if rs.types[j] == "F":
+            required_finger_len += len(rs.seqs[j][0])
+
+    lab_tab = np.asarray(mb.label, dtype=np.int64)
+    seg_of = (lab_tab & 0xFFFF).astype(np.int64)  # c2 per label index
+    alt_of = ((lab_tab >> 16) & 0x7FFF).astype(np.int64)  # c3 per label index
+    types_arr = np.array([ord(t) for t in rs.types] + [0], dtype=np.int64)
+    nseq_arr = np.array(
+        [rs.numseq_in_segment(j) for j in range(rs.num_segments)] + [0],
+        dtype=np.int64,
+    )
+
+    # decoded-region label info, positions j in [0, Ldec)
+    lab_dec = np.zeros((B, Ldec), dtype=np.int64)
+    w = min(Ldec, Lpad1 - 1)
+    lab_dec[:, :w] = labels[:, 1 : w + 1]
+    c2 = seg_of[lab_dec]
+    c3 = alt_of[lab_dec]
+    t = types_arr[np.minimum(c2, len(types_arr) - 1)]
+    pos = np.arange(Ldec, dtype=np.int64)[None, :]
+    valid = pos < dec_lens[:, None]
+
+    tF = (t == ord("F")) & valid
+    tB = (t == ord("B")) & valid
+    tR = (t == ord("R")) & valid
+
+    mapq = np.fromiter((r.mapq for r in reads), dtype=np.float64, count=B)
+    passed = confidence_threshold <= mapq  # NaN -> False -> mismatch
+
+    fingerlen = tF.sum(axis=1).astype(np.int64)
+
+    # --- barcode: state after the LAST B-labelled position ---
+    has_b = tB.any(axis=1)
+    last_b = np.where(has_b, Ldec - 1 - np.argmax(tB[:, ::-1], axis=1), 0)
+    rows = np.arange(B)
+    bar = np.where(has_b, c3[rows, last_b], -1)
+    mem = np.where(has_b, c2[rows, last_b], -1)
+    is_null_bar = has_b & (bar == nseq_arr[np.minimum(mem, len(nseq_arr) - 1)] - 1)
+    # hmm_has_barcode: 0 none, 1 real, -1 null-N alternative
+    hmm_has_barcode = np.where(has_b, np.where(is_null_bar, -1, 1), 0)
+
+    # --- too-short: every maximal R run must reach minlen ---
+    nonr_pos = np.where(~tR, pos, np.int64(-1))
+    last_nonr = np.maximum.accumulate(nonr_pos, axis=1)
+    runlen = pos - last_nonr  # only meaningful where tR
+    nxt = np.zeros_like(tR)
+    nxt[:, :-1] = tR[:, 1:]
+    run_end = tR & ~nxt  # covers both interior ends and the final position
+    too_short = (run_end & (runlen < minlen)).any(axis=1)
+
+    # --- fingerprint keys (tiny: only F positions, Python ints like the
+    # per-read path so >31nt UMIs keep full precision) ---
+    key = [0] * B
+    if required_finger_len and Ldec:
+        fi, fj = np.nonzero(tF)
+        basebits = (seq[fi, np.minimum(fj + offset, Lfull - 1)] & 0x3).astype(int)
+        for n in range(fi.shape[0]):
+            i = int(fi[n])
+            key[i] = (key[i] << 2) | int(basebits[n])
+
+    # --- outcome decision tree (extract_reads, barcode_hmm.c:3203-3304) ---
+    finger_ok = fingerlen == required_finger_len
+    if required_finger_len:
+        success = np.where(
+            hmm_has_barcode == 1,
+            finger_ok & (bar != -1),
+            np.where(hmm_has_barcode == 0, finger_ok, False),
+        )
+    else:
+        success = np.where(
+            hmm_has_barcode == 1,
+            bar != -1,
+            hmm_has_barcode == 0,
+        )
+    success = passed & ~too_short & success
+    read_type = np.where(
+        passed,
+        np.where(
+            too_short,
+            EXTRACT_FAIL_READ_TOO_SHORT,
+            np.where(success, EXTRACT_SUCCESS, EXTRACT_FAIL_BAR_FINGER_NOT_FOUND),
+        ),
+        EXTRACT_FAIL_ARCHITECTURE_MISMATCH,
+    )
+
+    # --- make_extracted_read over the FULL read length (labels index is NOT
+    # offset by matchstart; beyond the label buffer reads as 0 — reference
+    # quirks preserved, barcode_hmm.c:3325-3356) ---
+    lab_full = np.zeros((B, Lfull), dtype=np.int64)
+    wf = min(Lfull, Lpad1 - 1)
+    lab_full[:, :wf] = labels[:, 1 : wf + 1]
+    r_full = types_arr[np.minimum(seg_of[lab_full], len(types_arr) - 1)] == ord("R")
+    new_seq = np.where(r_full, seq, np.uint8(SPACER))
+
+    set_bar = success & (hmm_has_barcode == 1)
+    set_fp = success & (required_finger_len > 0)
+    fp_len = min(required_finger_len, 255)
+    for i, r in enumerate(reads):
+        r.read_type = int(read_type[i])
+        if success[i]:
+            L = r.len
+            r.seq = new_seq[i, :L].copy()
+            if r.qual is not None:
+                q = np.frombuffer(r.qual.encode("latin-1"), dtype=np.uint8).copy()
+                q[~r_full[i, :L]] = SPACER
+                r.qual = q.tobytes().decode("latin-1")
+            if set_bar[i]:
+                r.barcode = (int(mem[i]) << 16) | int(bar[i])
+            if set_fp[i]:
+                r.fingerprint = (key[i] << 8) | fp_len
+
+
 def _make_extracted(mb: ModelBag, rs, read: Read, labels: np.ndarray) -> None:
     """make_extracted_read (barcode_hmm.c:3325-3356): non-R bases -> spacer.
 

@@ -1,0 +1,91 @@
+"""Vectorised extract_batch must behave exactly like per-read extract_read.
+
+Random label matrices (not just engine-produced ones) exercise every branch:
+null-N barcode alternatives, fingerprint length mismatches, too-short R runs,
+threshold rejections, matchstart/matchend offsets, qual rewriting.
+"""
+
+import copy
+
+import numpy as np
+import pytest
+
+from tagdust_tpu.arch import build_read_structure
+from tagdust_tpu.extract import extract_batch, extract_read
+from tagdust_tpu.io.fastq import Read
+from tagdust_tpu.logsum import p2sp
+from tagdust_tpu.model import init_model_bag
+from tagdust_tpu.stats import SequenceStats
+
+
+def _mb(segments):
+    rs = build_read_structure(segments)
+    ssi = SequenceStats()
+    ssi.average_length = 30
+    ssi.max_seq_len = 48
+    ssi.background = [float(p2sp(p)) for p in (0.27, 0.24, 0.26, 0.22, 0.01)]
+    ssi.mean_5_len = ssi.stdev_5_len = -1.0
+    ssi.mean_3_len = ssi.stdev_3_len = -1.0
+    return rs, init_model_bag(rs, ssi, 0.05, 0.1)
+
+
+def _random_reads(rng, B, Lmax, num_label_idx, with_qual=True):
+    reads = []
+    for i in range(B):
+        L = int(rng.integers(0 if i == 0 else 5, Lmax + 1))
+        r = Read(
+            name=f"r{i}",
+            seq=rng.integers(0, 5, L).astype(np.uint8),
+            qual="".join(chr(int(c)) for c in rng.integers(33, 74, L))
+            if with_qual
+            else None,
+        )
+        r.mapq = float(rng.choice([0.0, 5.0, 15.0, 40.0, float("nan")]))
+        reads.append(r)
+    Lpad = Lmax + 4
+    labels = rng.integers(0, num_label_idx, (B, Lpad + 1)).astype(np.int32)
+    return reads, labels
+
+
+@pytest.mark.parametrize(
+    "segments,minlen,ms,me",
+    [
+        (["B:ACGTAC,TGCATG", "R:N"], 0, -1, -1),
+        (["B:ACGT,TGCA", "F:NNNN", "R:N"], 3, -1, -1),
+        (["F:NNNNNN", "R:N"], 5, -1, -1),
+        (["R:N", "S:TATA", "R:N"], 4, -1, -1),
+        (["B:ACGTAC,TGCATG", "R:N"], 2, 3, 20),
+        (["P:AGGTC", "R:N"], 0, -1, -1),
+    ],
+)
+def test_extract_batch_matches_per_read(segments, minlen, ms, me):
+    rs, mb = _mb(segments)
+    rng = np.random.default_rng(hash((tuple(segments), minlen, ms)) % 2**32)
+    for threshold in (0.0, 10.0):
+        reads, labels = _random_reads(rng, 64, 40, len(mb.label))
+        ra = copy.deepcopy(reads)
+        rb = copy.deepcopy(reads)
+        for i, r in enumerate(ra):
+            extract_read(mb, rs, r, labels[i], minlen, threshold, ms, me)
+        extract_batch(mb, rs, rb, labels, minlen, threshold, ms, me)
+        for i, (a, b) in enumerate(zip(ra, rb)):
+            assert a.read_type == b.read_type, (i, a.read_type, b.read_type)
+            assert a.barcode == b.barcode, i
+            assert a.fingerprint == b.fingerprint, i
+            np.testing.assert_array_equal(a.seq, b.seq, err_msg=str(i))
+            assert a.qual == b.qual, i
+
+
+def test_extract_batch_no_qual():
+    rs, mb = _mb(["B:ACGT,TGCA", "R:N"])
+    rng = np.random.default_rng(7)
+    reads, labels = _random_reads(rng, 16, 24, len(mb.label), with_qual=False)
+    ra = copy.deepcopy(reads)
+    rb = copy.deepcopy(reads)
+    for i, r in enumerate(ra):
+        extract_read(mb, rs, r, labels[i], 0, 0.0)
+    extract_batch(mb, rs, rb, labels, 0, 0.0)
+    for a, b in zip(ra, rb):
+        assert a.read_type == b.read_type
+        np.testing.assert_array_equal(a.seq, b.seq)
+        assert a.qual is None and b.qual is None

@@ -52,3 +52,41 @@ def test_pallas_matches_xla_engine():
         np.testing.assert_array_equal(
             labels[b, 1 : L + 1], ref.labels[b, 1 : L + 1]
         )
+
+
+def test_pallas_long_reads_multibank_traceback():
+    """Lp > 127 exercises the multi-bank label buffer in the traceback."""
+    jnp = pytest.importorskip("jax.numpy")
+
+    from tagdust_tpu.engine import pallas_kernel as PK
+    from tagdust_tpu.engine.tpu import TpuEngine
+
+    rs = build_read_structure(["B:ACGT,TGCA", "R:N"])
+    ssi = SequenceStats()
+    ssi.average_length = 120
+    ssi.max_seq_len = 160
+    ssi.background = [float(p2sp(p)) for p in (0.27, 0.24, 0.26, 0.22, 0.01)]
+    ssi.mean_5_len = ssi.stdev_5_len = -1.0
+    ssi.mean_3_len = ssi.stdev_3_len = -1.0
+    mb = init_model_bag(rs, ssi, 0.05, 0.1)
+    eng = TpuEngine(mb)
+    lat = eng.lat
+    Lp, BT = 150, 8
+    call, *_ = PK.make_fused_scorer(
+        lat.A, lat.Aent, lat.end,
+        np.asarray(eng._dev["Lmap"]), np.asarray(eng._dev["ent_sel"]),
+        lat.begin, Lp, BT,
+        interpret=True, tmatrix=np.asarray(eng._dev["tmat"]),
+    )
+    rng = np.random.default_rng(3)
+    B = 8
+    seqs = rng.integers(0, 4, (B, Lp)).astype(np.int32)
+    lens = rng.integers(100, Lp, B).astype(np.int32)
+    f_log, logpb, labels, tp = call(jnp.asarray(seqs), jnp.asarray(lens))
+    ref = eng.run_batch(seqs.astype(np.uint8), lens)
+    np.testing.assert_allclose(np.asarray(f_log), ref.f_score, rtol=2e-4, atol=1e-3)
+    labels = np.asarray(labels)
+    assert labels.shape[1] == Lp + 1
+    for b in range(B):
+        L = int(lens[b])
+        np.testing.assert_array_equal(labels[b, 1 : L + 1], ref.labels[b, 1 : L + 1])
