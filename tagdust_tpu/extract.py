@@ -204,47 +204,64 @@ def extract_batch(
         if rs.types[j] == "F":
             required_finger_len += len(rs.seqs[j][0])
 
+    # tiny per-label lookup tables so the [B, L] work is bool/int32 only
+    # (large-temporary footprint matters: first-touch page faults dominate
+    # on some hosts)
     lab_tab = np.asarray(mb.label, dtype=np.int64)
-    seg_of = (lab_tab & 0xFFFF).astype(np.int64)  # c2 per label index
-    alt_of = ((lab_tab >> 16) & 0x7FFF).astype(np.int64)  # c3 per label index
-    types_arr = np.array([ord(t) for t in rs.types] + [0], dtype=np.int64)
+    seg_of = (lab_tab & 0xFFFF).astype(np.int32)  # c2 per label index
+    alt_of = ((lab_tab >> 16) & 0x7FFF).astype(np.int32)  # c3 per label index
+    types_arr = np.array([ord(t) for t in rs.types] + [0], dtype=np.int32)
     nseq_arr = np.array(
         [rs.numseq_in_segment(j) for j in range(rs.num_segments)] + [0],
-        dtype=np.int64,
+        dtype=np.int32,
+    )
+    seg_clip = np.minimum(seg_of, len(types_arr) - 1)
+    type_of_label = types_arr[seg_clip]
+    is_F_label = type_of_label == ord("F")
+    is_B_label = type_of_label == ord("B")
+    is_R_label = type_of_label == ord("R")
+    null_of_label = is_B_label & (
+        alt_of == nseq_arr[np.minimum(seg_clip, len(nseq_arr) - 1)] - 1
     )
 
-    # decoded-region label info, positions j in [0, Ldec)
-    lab_dec = np.zeros((B, Ldec), dtype=np.int64)
+    # decoded-region labels, positions j in [0, Ldec)
+    lab_dec = np.zeros((B, Ldec), dtype=np.int32)
     w = min(Ldec, Lpad1 - 1)
     lab_dec[:, :w] = labels[:, 1 : w + 1]
-    c2 = seg_of[lab_dec]
-    c3 = alt_of[lab_dec]
-    t = types_arr[np.minimum(c2, len(types_arr) - 1)]
-    pos = np.arange(Ldec, dtype=np.int64)[None, :]
+    pos = np.arange(Ldec, dtype=np.int32)[None, :]
     valid = pos < dec_lens[:, None]
 
-    tF = (t == ord("F")) & valid
-    tB = (t == ord("B")) & valid
-    tR = (t == ord("R")) & valid
+    tF = is_F_label[lab_dec] & valid
+    tB = is_B_label[lab_dec] & valid
+    tR = is_R_label[lab_dec] & valid
 
     mapq = np.fromiter((r.mapq for r in reads), dtype=np.float64, count=B)
     passed = confidence_threshold <= mapq  # NaN -> False -> mismatch
 
-    fingerlen = tF.sum(axis=1).astype(np.int64)
+    fingerlen = tF.sum(axis=1, dtype=np.int32)
 
     # --- barcode: state after the LAST B-labelled position ---
     has_b = tB.any(axis=1)
     last_b = np.where(has_b, Ldec - 1 - np.argmax(tB[:, ::-1], axis=1), 0)
     rows = np.arange(B)
-    bar = np.where(has_b, c3[rows, last_b], -1)
-    mem = np.where(has_b, c2[rows, last_b], -1)
-    is_null_bar = has_b & (bar == nseq_arr[np.minimum(mem, len(nseq_arr) - 1)] - 1)
+    lab_last = lab_dec[rows, last_b]
+    bar = np.where(has_b, alt_of[lab_last], -1)
+    mem = np.where(has_b, seg_of[lab_last], -1)
     # hmm_has_barcode: 0 none, 1 real, -1 null-N alternative
-    hmm_has_barcode = np.where(has_b, np.where(is_null_bar, -1, 1), 0)
+    hmm_has_barcode = np.where(
+        has_b, np.where(null_of_label[lab_last], -1, 1), 0
+    )
 
     # --- too-short: every maximal R run must reach minlen ---
-    nonr_pos = np.where(~tR, pos, np.int64(-1))
-    last_nonr = np.maximum.accumulate(nonr_pos, axis=1)
+    # run length ending at j = j - (index of last non-R position before j);
+    # the accumulate runs column-by-column with a reused [B] carry (a whole
+    # [B, L] ufunc.accumulate is pathologically slow in numpy)
+    last_nonr = np.empty((B, Ldec), dtype=np.int32)
+    carry = np.where(tR[:, 0], np.int32(-1), np.int32(0))  # [B]
+    last_nonr[:, 0] = carry
+    for j in range(1, Ldec):
+        carry = np.where(tR[:, j], carry, np.int32(j))
+        last_nonr[:, j] = carry
     runlen = pos - last_nonr  # only meaningful where tR
     nxt = np.zeros_like(tR)
     nxt[:, :-1] = tR[:, 1:]
@@ -289,10 +306,10 @@ def extract_batch(
     # --- make_extracted_read over the FULL read length (labels index is NOT
     # offset by matchstart; beyond the label buffer reads as 0 — reference
     # quirks preserved, barcode_hmm.c:3325-3356) ---
-    lab_full = np.zeros((B, Lfull), dtype=np.int64)
+    lab_full = np.zeros((B, Lfull), dtype=np.int32)
     wf = min(Lfull, Lpad1 - 1)
     lab_full[:, :wf] = labels[:, 1 : wf + 1]
-    r_full = types_arr[np.minimum(seg_of[lab_full], len(types_arr) - 1)] == ord("R")
+    r_full = is_R_label[lab_full]
     new_seq = np.where(r_full, seq, np.uint8(SPACER))
 
     set_bar = success & (hmm_has_barcode == 1)

@@ -49,12 +49,63 @@ def dust_score(seq: np.ndarray, length: int) -> float:
         triplet[key & 0x3F] += 1
         c += 1
     s = float(np.sum(triplet * (triplet - 1.0) / 2.0))
+    if c == 3:
+        # C evaluates 0.0/0 = NaN here (never > the dust cut)
+        return float("nan")
     return s / float(c - 3) * 10.0
 
 
+def dust_scores_batch(reads: List[Read]) -> np.ndarray:
+    """Vectorised dust_score over a chunk (same quirks: the denominator
+    counts the leading-spacer prefix, triplets stop at the first interior
+    spacer and at 64 nt)."""
+    B = len(reads)
+    W = 64
+    arr = np.full((B, W), SPACER, dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, r in enumerate(reads):
+        L = min(r.len, W)
+        lens[i] = r.len
+        arr[i, :L] = r.seq[:L]
+    ln = np.minimum(lens, W)
+    pos = np.arange(W, dtype=np.int32)[None, :]
+    is_sp = (arr == SPACER) | (pos >= ln[:, None])
+    # leading spacer count (c0) within the real length
+    lead = np.argmax(~is_sp, axis=1).astype(np.int32)
+    none_real = ~(~is_sp).any(axis=1)
+    lead = np.where(none_real, ln, lead)
+    # reads with c0 + 1 >= n score 0.0 (dust_score early-out)
+    degenerate = (lead + 1) >= lens
+    # triplet run: positions j >= lead+2 counted while no spacer at j and no
+    # spacer anywhere in (lead..j]  (the scan breaks at the first spacer)
+    after_start = pos >= (lead + 2)[:, None]
+    sp_after_start = is_sp & after_start
+    first_sp = np.where(
+        sp_after_start.any(axis=1),
+        np.argmax(sp_after_start, axis=1),
+        W,
+    ).astype(np.int32)
+    counted = after_start & (pos < first_sp[:, None])
+    # rolling 2-bit keys of the last 3 bases (seq values & 3)
+    b2 = (arr & 0x3).astype(np.int32)
+    key = ((b2 << 4) | (np.roll(b2, 1, axis=1) << 2) | np.roll(b2, 2, axis=1))
+    key[:, :2] = 0
+    # per-read histogram over the 64 triplet keys via one flat bincount
+    rows = np.broadcast_to(np.arange(B, dtype=np.int64)[:, None], (B, W))
+    flat = (rows * 64 + key)[counted]
+    hist = np.bincount(flat, minlength=B * 64).reshape(B, 64).astype(np.float64)
+    s = (hist * (hist - 1.0) / 2.0).sum(axis=1)
+    ntrip = counted.sum(axis=1, dtype=np.int32)
+    c_final = lead + 2 + ntrip
+    denom = np.where(c_final == 3, np.nan, c_final - 3).astype(np.float64)
+    out = np.where(degenerate, 0.0, s / denom * 10.0)
+    return out
+
+
 def dust_reads(reads: List[Read], dust_cut: int) -> None:
-    for r in reads:
-        if dust_score(r.seq, r.len) > dust_cut:
+    scores = dust_scores_batch(reads)
+    for i, r in enumerate(reads):
+        if scores[i] > dust_cut:
             r.read_type = EXTRACT_FAIL_LOW_COMPLEXITY
 
 

@@ -95,9 +95,10 @@ def _open_stream(path: str, fmt: dict) -> IO[bytes]:
 class SeqReader:
     """Streaming chunked reader over one sequence file.
 
-    ``fast=True`` (or env TAGDUST_TPU_FAST_IO=1) switches FASTQ parsing to
-    the native codec (csrc/fastq_codec.cpp); results are identical for
-    well-formed files."""
+    FASTA/FASTQ parsing goes through the native codec
+    (csrc/fastq_codec.cpp) by default; results are identical to the Python
+    line-state parser (asserted by tests).  Set env TAGDUST_TPU_FAST_IO=0
+    (or fast=False) to force the pure-Python parser."""
 
     def __init__(self, path: str, fast: Optional[bool] = None):
         self.path = path
@@ -107,7 +108,7 @@ class SeqReader:
         self.is_fasta = bool(self.fmt["fasta"])
         self._pending: Optional[bytes] = None
         if fast is None:
-            fast = os.environ.get("TAGDUST_TPU_FAST_IO") == "1"
+            fast = os.environ.get("TAGDUST_TPU_FAST_IO", "1") == "1"
         self._fast = None
         if fast and not self.is_sam:
             try:

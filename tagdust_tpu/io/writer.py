@@ -19,8 +19,15 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
+import numpy as np
+
 from ..arch import ReadStructure
 from ..constants import ALPHABET, EXTRACT_SUCCESS
+
+# code -> output letter; codes >= 5 are run separators (65-spacers, '.')
+_ASCII_LUT = np.zeros(256, dtype=np.uint8)
+for _i, _ch in enumerate(ALPHABET[:5]):
+    _ASCII_LUT[_i] = ord(_ch)
 
 
 def finger_seq(key: int) -> str:
@@ -121,60 +128,89 @@ class DemuxWriter:
             else:
                 names.append(f"{outfile}.fq")
                 names.append(f"{outfile}_un.fq")
-        self.files = [open(n, "w") for n in names]
+        self.files = [open(n, "wb") for n in names]
 
     def write_batch(self, read_info_container, numseq: int) -> None:
         """read_info_container[file][i] like the reference; routing uses
-        file 0's merged read_type/barcode (io.c:923-1001)."""
+        file 0's merged read_type/barcode (io.c:923-1001).
+
+        Formatting is batched: one LUT translate + run-boundary scan over the
+        whole [B, Lmax] code matrix per input file, then per-run byte slices
+        into per-output-file buffers (equivalent to the per-base walk of
+        io.c:946-996, asserted byte-identical by the gold tests)."""
         n_alt = self.num_alternatives
+        r0s = read_info_container[0]
+        base_f = np.empty(numseq, dtype=np.int64)
         for i in range(numseq):
-            c = 0
-            r0 = read_info_container[0][i]
-            for j in range(len(self.read_present)):
-                if self.read_present[j]:
-                    if r0.read_type == EXTRACT_SUCCESS:
-                        if r0.barcode != -1:
-                            f = c + (r0.barcode & 0xFF)
-                        else:
-                            f = c
-                    else:
-                        f = c + n_alt - 1
-                    tmp = read_info_container[j][i]
-                    self._write_read(tmp, f)
-                c += n_alt * self.read_present[j]
-
-    def _write_read(self, r, f: int) -> None:
-        seq = r.seq
-        qual = r.qual
-        out_seq = []
-        out_qual = []
-        files = self.files
-        for g in range(r.len):
-            v = int(seq[g])
-            if v < 5:
-                out_seq.append(ALPHABET[v])
-                out_qual.append(qual[g] if qual is not None else ".")
+            r0 = r0s[i]
+            if r0.read_type == EXTRACT_SUCCESS:
+                base_f[i] = (r0.barcode & 0xFF) if r0.barcode != -1 else 0
             else:
-                if out_seq:
-                    self._emit(files[f], r, out_seq, out_qual)
-                    f += self.num_alternatives
-                    out_seq = []
-                    out_qual = []
-        if out_seq:
-            self._emit(files[f], r, out_seq, out_qual)
+                base_f[i] = n_alt - 1
+        buffers: List[List[bytes]] = [[] for _ in self.files]
+        c = 0
+        for j in range(len(self.read_present)):
+            if self.read_present[j]:
+                self._emit_batch(
+                    read_info_container[j][:numseq], base_f + c, buffers
+                )
+            c += n_alt * self.read_present[j]
+        for fh, buf in zip(self.files, buffers):
+            if buf:
+                fh.write(b"".join(buf))
 
-    def _emit(self, fh, r, out_seq, out_qual) -> None:
+    def _emit_batch(self, reads, f_per_read, buffers) -> None:
+        B = len(reads)
+        if B == 0:
+            return
+        lens = np.fromiter((r.len for r in reads), dtype=np.int64, count=B)
+        Lmax = max(int(lens.max(initial=0)), 1)
+        arr = np.full((B, Lmax), 255, dtype=np.uint8)
+        qarr = np.full((B, Lmax), ord("."), dtype=np.uint8)
+        for i, r in enumerate(reads):
+            L = r.len
+            arr[i, :L] = r.seq
+            if r.qual is not None:
+                qarr[i, :L] = np.frombuffer(
+                    r.qual.encode("latin-1"), dtype=np.uint8
+                )[:L]
+        seq_flat = _ASCII_LUT[arr].tobytes()
+        qual_flat = qarr.tobytes()
+        keep = arr < 5
+        prev = np.zeros_like(keep)
+        prev[:, 1:] = keep[:, :-1]
+        nxt = np.zeros_like(keep)
+        nxt[:, :-1] = keep[:, 1:]
+        si, sj = np.nonzero(keep & ~prev)  # run starts, row-major order
+        ei, ej = np.nonzero(keep & ~nxt)  # matching run ends (inclusive)
+        headers = [self._header(r) for r in reads]
+        n_alt = self.num_alternatives
+        run_k = 0
+        prev_i = -1
+        for n in range(si.shape[0]):
+            i = int(si[n])
+            if i != prev_i:
+                run_k = 0
+                prev_i = i
+            a = i * Lmax + int(sj[n])
+            b = i * Lmax + int(ej[n]) + 1
+            buf = buffers[int(f_per_read[i]) + run_k * n_alt]
+            buf.append(headers[i])
+            buf.append(seq_flat[a:b])
+            buf.append(b"\n+\n")
+            buf.append(qual_flat[a:b])
+            buf.append(b"\n")
+            run_k += 1
+
+    def _header(self, r) -> bytes:
         if r.fingerprint != -1:
             if self.print_seq_finger:
-                fh.write(f"@{r.name};FP:{finger_seq(r.fingerprint)};RQ:{r.mapq:.2f}\n")
+                s = f"@{r.name};FP:{finger_seq(r.fingerprint)};RQ:{r.mapq:.2f}\n"
             else:
-                fh.write(f"@{r.name};FP:{r.fingerprint};RQ:{r.mapq:.2f}\n")
+                s = f"@{r.name};FP:{r.fingerprint};RQ:{r.mapq:.2f}\n"
         else:
-            fh.write(f"@{r.name};RQ:{r.mapq:.2f}\n")
-        fh.write("".join(out_seq))
-        fh.write("\n+\n")
-        fh.write("".join(out_qual))
-        fh.write("\n")
+            s = f"@{r.name};RQ:{r.mapq:.2f}\n"
+        return s.encode("latin-1")
 
     def close(self) -> None:
         for f in self.files:

@@ -89,3 +89,28 @@ def test_extract_batch_no_qual():
         assert a.read_type == b.read_type
         np.testing.assert_array_equal(a.seq, b.seq)
         assert a.qual is None and b.qual is None
+
+
+def test_dust_scores_batch_matches_scalar():
+    from tagdust_tpu.filters import dust_score, dust_scores_batch
+    from tagdust_tpu.constants import SPACER
+
+    rng = np.random.default_rng(11)
+    reads = []
+    for i in range(300):
+        L = int(rng.integers(0, 120))
+        seq = rng.integers(0, 5, L).astype(np.uint8)
+        # sprinkle spacers, sometimes a long leading run
+        seq[rng.random(L) < 0.15] = SPACER
+        if i % 7 == 0 and L > 3:
+            seq[: int(rng.integers(1, L))] = SPACER
+        if i % 11 == 0 and L > 10:
+            seq[:] = 0  # poly-A: high dust score
+        reads.append(Read(name=f"d{i}", seq=seq))
+    batch = dust_scores_batch(reads)
+    for i, r in enumerate(reads):
+        expect = dust_score(r.seq, r.len)
+        if np.isnan(expect):
+            assert np.isnan(batch[i]), i
+        else:
+            np.testing.assert_allclose(batch[i], expect, atol=1e-9, err_msg=str(i))
