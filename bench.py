@@ -49,7 +49,7 @@ def main():
 
     try:
         fullfn, BT = eng._get_pallas(L)
-        seqs_d = jnp.asarray(seqs.astype(np.int32))
+        seqs_d = jnp.asarray(seqs.astype(np.uint8))
         lens_d = jnp.asarray(lens.astype(np.int32))
 
         def run():

@@ -160,17 +160,22 @@ def run_get_label(
     )
     if labels_mat is not None:
         # batched engines return the [B, Lpad+1] label matrix: extraction is
-        # one vectorised pass instead of a per-base Python walk per read
-        extract_batch(
-            mb,
-            rs,
-            reads,
-            labels_mat,
-            param.minlen,
-            confidence_threshold,
-            param.matchstart,
-            param.matchend,
-        )
+        # a vectorised pass instead of a per-base Python walk per read.
+        # Moderate slices keep the numpy temporaries in reused (warm) malloc
+        # blocks — first-touch page faults on fresh huge buffers are
+        # expensive on some hosts.
+        SL = 16384
+        for s in range(0, len(reads), SL):
+            extract_batch(
+                mb,
+                rs,
+                reads[s : s + SL],
+                labels_mat[s : s + SL],
+                param.minlen,
+                confidence_threshold,
+                param.matchstart,
+                param.matchend,
+            )
     else:
         for r in reads:
             extract_read(
@@ -198,7 +203,9 @@ def _apply_filters(reads: List[Read], param, contaminants) -> None:
         for s, e in thread_slices(len(reads), param.num_threads):
             match_to_reference(reads[s:e], contaminants, param.filter_error)
     if param.dust:
-        dust_reads(reads, param.dust)
+        SL = 16384
+        for s in range(0, len(reads), SL):
+            dust_reads(reads[s : s + SL], param.dust)
 
 
 def run_get_prob(mb: ModelBag, seq_list: List[np.ndarray]) -> np.ndarray:

@@ -58,7 +58,11 @@ def dust_score(seq: np.ndarray, length: int) -> float:
 def dust_scores_batch(reads: List[Read]) -> np.ndarray:
     """Vectorised dust_score over a chunk (same quirks: the denominator
     counts the leading-spacer prefix, triplets stop at the first interior
-    spacer and at 64 nt)."""
+    spacer and at 64 nt).
+
+    The pair count Σ c(c-1)/2 is computed by sorting each read's counted
+    triplet keys and summing within-run prefix indices — small uint8/int16
+    buffers only (no [B*64] histogram)."""
     B = len(reads)
     W = 64
     arr = np.full((B, W), SPACER, dtype=np.uint8)
@@ -67,36 +71,43 @@ def dust_scores_batch(reads: List[Read]) -> np.ndarray:
         L = min(r.len, W)
         lens[i] = r.len
         arr[i, :L] = r.seq[:L]
-    ln = np.minimum(lens, W)
-    pos = np.arange(W, dtype=np.int32)[None, :]
+    ln = np.minimum(lens, W).astype(np.int16)
+    pos = np.arange(W, dtype=np.int16)[None, :]
     is_sp = (arr == SPACER) | (pos >= ln[:, None])
     # leading spacer count (c0) within the real length
-    lead = np.argmax(~is_sp, axis=1).astype(np.int32)
+    lead = np.argmax(~is_sp, axis=1).astype(np.int16)
     none_real = ~(~is_sp).any(axis=1)
     lead = np.where(none_real, ln, lead)
     # reads with c0 + 1 >= n score 0.0 (dust_score early-out)
-    degenerate = (lead + 1) >= lens
-    # triplet run: positions j >= lead+2 counted while no spacer at j and no
-    # spacer anywhere in (lead..j]  (the scan breaks at the first spacer)
+    degenerate = (lead.astype(np.int32) + 1) >= lens
+    # triplet run: positions j >= lead+2 counted while no spacer in (lead..j]
     after_start = pos >= (lead + 2)[:, None]
     sp_after_start = is_sp & after_start
     first_sp = np.where(
         sp_after_start.any(axis=1),
         np.argmax(sp_after_start, axis=1),
         W,
-    ).astype(np.int32)
+    ).astype(np.int16)
     counted = after_start & (pos < first_sp[:, None])
-    # rolling 2-bit keys of the last 3 bases (seq values & 3)
-    b2 = (arr & 0x3).astype(np.int32)
-    key = ((b2 << 4) | (np.roll(b2, 1, axis=1) << 2) | np.roll(b2, 2, axis=1))
+    # rolling 2-bit keys of the last 3 bases (any bijective bit order works:
+    # the pair count is invariant under key relabeling)
+    b2 = arr & 0x3
+    key = np.empty((B, W), dtype=np.uint8)
+    key[:, 2:] = (b2[:, 2:] << 4) | (b2[:, 1:-1] << 2) | b2[:, :-2]
     key[:, :2] = 0
-    # per-read histogram over the 64 triplet keys via one flat bincount
-    rows = np.broadcast_to(np.arange(B, dtype=np.int64)[:, None], (B, W))
-    flat = (rows * 64 + key)[counted]
-    hist = np.bincount(flat, minlength=B * 64).reshape(B, 64).astype(np.float64)
-    s = (hist * (hist - 1.0) / 2.0).sum(axis=1)
+    # uncounted slots -> sentinel 255 so they sort to the end
+    key[~counted] = 255
+    key.sort(axis=1)
+    eq = np.zeros((B, W), dtype=bool)
+    eq[:, 1:] = (key[:, 1:] == key[:, :-1]) & (key[:, 1:] != 255)
+    # within-run prefix index via column loop with a reused [B] carry
+    s = np.zeros(B, dtype=np.float64)
+    carry = np.zeros(B, dtype=np.int32)
+    for j in range(1, W):
+        carry = np.where(eq[:, j], carry + 1, 0)
+        s += carry
     ntrip = counted.sum(axis=1, dtype=np.int32)
-    c_final = lead + 2 + ntrip
+    c_final = lead.astype(np.int32) + 2 + ntrip
     denom = np.where(c_final == 3, np.nan, c_final - 3).astype(np.float64)
     out = np.where(degenerate, 0.0, s / denom * 10.0)
     return out
