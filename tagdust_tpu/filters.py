@@ -191,30 +191,88 @@ def reverse_complement(seq: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pattern_masks(pats: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """[B, 4] uint64 Myers pattern bitmasks; spacer symbols skip the mask but
+    still occupy bit positions (misc.c:718-733 quirk)."""
+    B, W = pats.shape
+    bits = (np.uint64(1) << np.arange(W, dtype=np.uint64))[None, :]
+    pos = np.arange(W, dtype=np.int32)[None, :]
+    valid = (pos < lens[:, None]) & (pats != SPACER)
+    out = np.zeros((B, 4), dtype=np.uint64)
+    low2 = pats & 0x3
+    for c in range(4):
+        out[:, c] = np.where(valid & (low2 == c), bits, np.uint64(0)).sum(
+            axis=1, dtype=np.uint64
+        )
+    return out
+
+
+def _bpm_batch(text: np.ndarray, B4: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Batched _bmp_single: best substring edit distance of each pattern
+    (rows of B4, lengths m<=63) in one shared text.  uint64 lanes across the
+    read batch; wrap-around arithmetic matches the C kernel."""
+    B = B4.shape[0]
+    m64 = m.astype(np.uint64)
+    mask = np.uint64(1) << (m64 - np.uint64(1))
+    VP = (np.uint64(1) << m64) - np.uint64(1)
+    VN = np.zeros(B, dtype=np.uint64)
+    diff = m.astype(np.int64).copy()
+    k = diff.copy()
+    one = np.uint64(1)
+    for t in text:
+        X = B4[:, int(t) & 0x3] | VN
+        D0 = ((VP + (X & VP)) ^ VP) | X
+        HN = VP & D0
+        HP = VN | ~(VP | D0)
+        X = HP << one
+        VN = X & D0
+        VP = (HN << one) | ~(X | D0)
+        diff += ((HP & mask) != 0).astype(np.int64)
+        diff -= ((HN & mask) != 0).astype(np.int64)
+        np.minimum(k, diff, out=k)
+    return k
+
+
 def match_to_reference(
     reads: List[Read], contaminant_seqs: List[np.ndarray], error_cut: int
 ) -> None:
     """barcode_hmm.c:2478-2583 semantics: for each read take, over all
     contaminants and both orientations, the minimum distance computed by
     the (pattern = read) kernel; mark EXTRACT_SUCCESS reads whose best
-    distance <= error_cut."""
-    for r in reads:
-        best = 100000
-        best_id = 0
-        fwd = r.seq
-        rev = reverse_complement(r.seq)
-        for j, ref in enumerate(contaminant_seqs):
-            n = ref.shape[0]
-            d = _bmp_single(ref, fwd, n, r.len)
-            if d < best:
-                best = d
-                best_id = j + 1
-            d = _bmp_single(ref, rev, n, r.len)
-            if d < best:
-                best = d
-                best_id = j + 1
-        if best <= error_cut and r.read_type == EXTRACT_SUCCESS:
-            r.read_type = (best_id << 8) | EXTRACT_FAIL_MATCHES_ARTIFACTS
+    distance <= error_cut.  Runs the Myers recurrence batch-wide (one uint64
+    lane per read) instead of per read."""
+    B = len(reads)
+    if B == 0 or not contaminant_seqs:
+        return
+    W = 63
+    lens = np.zeros(B, dtype=np.int32)
+    fwd = np.full((B, W), SPACER, dtype=np.uint8)
+    rev = np.full((B, W), SPACER, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        L = r.len
+        lens[i] = min(L, W)
+        fwd[i, : lens[i]] = r.seq[:W]
+        # reverse_complement of the full read, then first 63 symbols
+        # (misc.c:829-853; spacers preserved)
+        rseq = r.seq[::-1]
+        rc = np.where(
+            rseq >= 5, SPACER, REV_NUC_CODE[np.minimum(rseq, 4)]
+        )
+        rev[i, : lens[i]] = rc[:W].astype(np.uint8)[: lens[i]]
+    B4f = _pattern_masks(fwd, lens)
+    B4r = _pattern_masks(rev, lens)
+    best = np.full(B, 100000, dtype=np.int64)
+    best_id = np.zeros(B, dtype=np.int64)
+    for j, ref in enumerate(contaminant_seqs):
+        for B4 in (B4f, B4r):
+            d = _bpm_batch(ref, B4, lens)
+            better = d < best
+            best = np.where(better, d, best)
+            best_id = np.where(better, j + 1, best_id)
+    hit = (best <= error_cut) & (lens > 0)
+    for i, r in enumerate(reads):
+        if hit[i] and r.read_type == EXTRACT_SUCCESS:
+            r.read_type = (int(best_id[i]) << 8) | EXTRACT_FAIL_MATCHES_ARTIFACTS
 
 
 def _bmp_single(text: np.ndarray, pattern: np.ndarray, n: int, m: int) -> int:

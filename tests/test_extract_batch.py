@@ -114,3 +114,52 @@ def test_dust_scores_batch_matches_scalar():
             assert np.isnan(batch[i]), i
         else:
             np.testing.assert_allclose(batch[i], expect, atol=1e-9, err_msg=str(i))
+
+
+def test_batched_artifact_filter_matches_scalar():
+    from tagdust_tpu.constants import EXTRACT_SUCCESS, SPACER
+    from tagdust_tpu.filters import (
+        _bmp_single,
+        match_to_reference,
+        reverse_complement,
+    )
+
+    rng = np.random.default_rng(23)
+    contaminants = [
+        rng.integers(0, 4, int(rng.integers(10, 200))).astype(np.uint8)
+        for _ in range(4)
+    ]
+    reads = []
+    for i in range(200):
+        L = int(rng.integers(1, 90))
+        seq = rng.integers(0, 5, L).astype(np.uint8)
+        seq[rng.random(L) < 0.2] = SPACER  # extracted reads carry spacers
+        if i % 9 == 0:  # plant near-exact contaminant substrings
+            c = contaminants[i % 4]
+            take = min(L, c.shape[0])
+            seq[:take] = c[:take]
+        r = Read(name=f"a{i}", seq=seq)
+        r.read_type = EXTRACT_SUCCESS
+        reads.append(r)
+
+    import copy
+
+    ra = copy.deepcopy(reads)
+    rb = copy.deepcopy(reads)
+    # scalar reference loop (the pre-batch implementation)
+    for r in ra:
+        best, best_id = 100000, 0
+        for j, ref in enumerate(contaminants):
+            for pat in (r.seq, reverse_complement(r.seq)):
+                d = _bmp_single(ref, pat, ref.shape[0], r.len)
+                if d < best:
+                    best, best_id = d, j + 1
+        if best <= 2 and r.read_type == EXTRACT_SUCCESS:
+            from tagdust_tpu.constants import EXTRACT_FAIL_MATCHES_ARTIFACTS
+            r.read_type = (best_id << 8) | EXTRACT_FAIL_MATCHES_ARTIFACTS
+    match_to_reference(rb, contaminants, 2)
+    n_marked = 0
+    for i, (a, b) in enumerate(zip(ra, rb)):
+        assert a.read_type == b.read_type, (i, a.read_type, b.read_type)
+        n_marked += a.read_type != EXTRACT_SUCCESS
+    assert n_marked > 5  # the planted contaminants were caught
