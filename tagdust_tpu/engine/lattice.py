@@ -51,6 +51,8 @@ def _lin(x) -> np.ndarray:
 class Lattice:
     A: np.ndarray  # [5, S, S] f32 — per-base step matrices (src, dst)
     Aent: np.ndarray  # [5, S, K] f32 — entry-only flows for bar_prob
+    Uent: np.ndarray  # [S, K] f32 — base-independent entry rows
+    Eent: np.ndarray  # [5, K] f32 — entry-state emissions (Aent = Uent ⊙ Eent)
     end: np.ndarray  # [S] f32 exit weights (f_score = v[L] @ end)
     state_label: np.ndarray  # [S] int32 -> global hmm-counter label
     num_labels: int
@@ -129,6 +131,8 @@ def compile_lattice(mb: ModelBag) -> Lattice:
     # build per-base step matrices
     A = np.zeros((5, S, S), dtype=np.float64)
     Aent_rows = []  # (col index in Aent, per-base rows [5, S])
+    Uent_rows = []  # base-independent entry rows [S]
+    Eent_rows = []  # entry-state emissions [5]
     ent_label = []
     ent_kind = []
 
@@ -173,9 +177,13 @@ def compile_lattice(mb: ModelBag) -> Lattice:
                     [psrow * s2I[j][f, 0] * ie[j][f, 0, c] for c in range(5)]
                 )
                 Aent_rows.append(rowsM)
+                Uent_rows.append(psrow * s2M[j][f, 0])
+                Eent_rows.append(me[j][f, 0])
                 ent_label.append(state_label[idx[("M", j, f, 0)]])
                 ent_kind.append(0)
                 Aent_rows.append(rowsI)
+                Uent_rows.append(psrow * s2I[j][f, 0])
+                Eent_rows.append(ie[j][f, 0])
                 ent_label.append(state_label[idx[("I", j, f, 0)]])
                 ent_kind.append(1)
 
@@ -187,6 +195,8 @@ def compile_lattice(mb: ModelBag) -> Lattice:
     Aent = (
         np.stack(Aent_rows, axis=-1) if Aent_rows else np.zeros((5, S, 0))
     )  # [K][5,S] -> [5,S,K]
+    Uent = np.stack(Uent_rows, axis=-1) if Uent_rows else np.zeros((S, 0))
+    Eent = np.stack(Eent_rows, axis=-1) if Eent_rows else np.zeros((5, 0))
 
     bar_segments = []
     lab0 = 0
@@ -198,6 +208,8 @@ def compile_lattice(mb: ModelBag) -> Lattice:
     return Lattice(
         A=A.astype(np.float32),
         Aent=np.asarray(Aent, dtype=np.float32),
+        Uent=np.asarray(Uent, dtype=np.float32),
+        Eent=np.asarray(Eent, dtype=np.float32),
         end=endv.astype(np.float32),
         state_label=np.array(state_label + [num_labels], dtype=np.int32),
         num_labels=num_labels,

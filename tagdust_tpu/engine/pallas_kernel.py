@@ -34,7 +34,8 @@ def _round_up(x, m):
 
 def make_fused_scorer(
     A: np.ndarray,  # [5, S, S] f32
-    Aent: np.ndarray,  # [5, S, K]
+    Uent: np.ndarray,  # [S, K] base-independent entry rows
+    Eent: np.ndarray,  # [5, K] entry-state emissions
     end: np.ndarray,  # [S]
     Lmap: np.ndarray,  # [S, H+1]
     ent_sel: np.ndarray,  # [S, K]
@@ -52,7 +53,7 @@ def make_fused_scorer(
     kernel runs the traceback, so the whole per-read pipeline is three Pallas
     kernels with no XLA scans."""
     S = A.shape[1]
-    K = Aent.shape[2]
+    K = Uent.shape[1]
     H = tmatrix.shape[0]
     Sp = _round_up(S, 128)
     Kp = _round_up(max(K, 1), 128)
@@ -63,19 +64,22 @@ def make_fused_scorer(
     diagp = np.zeros((8, Hp), dtype=np.float32)
     diagp[0, :H] = np.diagonal(tmatrix)
 
-    Afwd = np.zeros((5 * Sp, Sp + Kp), dtype=np.float32)
+    Afwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
     Abwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
     for c in range(5):
         Afwd[c * Sp : c * Sp + S, :S] = A[c]
-        Afwd[c * Sp : c * Sp + S, Sp : Sp + K] = Aent[c]
         Abwd[c * Sp : c * Sp + S, :S] = A[c].T
     endp = np.zeros((Sp, 128), dtype=np.float32)
     endp[:S, 0] = end
     lmapp = np.zeros((Sp, Hp), dtype=np.float32)
     lmapp[:S, : Lmap.shape[1]] = Lmap
     entp = np.zeros((Sp, Kp), dtype=np.float32)
+    uentp = np.zeros((Sp, Kp), dtype=np.float32)
+    eentp = np.zeros((8, Kp), dtype=np.float32)
     if K:
         entp[:S, :K] = ent_sel
+        uentp[:S, :K] = Uent
+        eentp[:5, :K] = Eent
 
     def _select_matmul(v, base_col, mat_ref, ncols):
         acc = jnp.zeros((BT, ncols), jnp.float32)
@@ -137,7 +141,9 @@ def make_fused_scorer(
     def fwd_kernel(
         seq_ref,  # [BT, Lp]
         lens_ref,  # [BT, 128]
-        afwd_ref,  # [5Sp, Sp+Kp]
+        afwd_ref,  # [5Sp, Sp]
+        uent_ref,  # [Sp, Kp]
+        eent_ref,  # [8, Kp]
         end_ref,  # [Sp, 128]
         lmap_ref,  # [Sp, Hp]
         entsel_ref,  # [Sp, Kp]
@@ -172,9 +178,18 @@ def make_fused_scorer(
         base = jnp.sum(
             jnp.where(lane == k, seq_ref[:, :], 0), axis=1, keepdims=True
         )
-        Y = _select_matmul(v, base, afwd_ref, Sp + Kp)
-        vn = Y[:, :Sp]
-        ve = Y[:, Sp:]
+        vn = _select_matmul(v, base, afwd_ref, Sp)
+        # entry flows factor as (v @ Uent) * Eent[base]: one unmasked matmul
+        # plus a VPU emission select instead of riding the 5-way masked one
+        ve_u = jnp.dot(v, uent_ref[:, :], preferred_element_type=jnp.float32)
+        esel = jnp.zeros((BT, Kp), jnp.float32)
+        for c in range(5):
+            esel = jnp.where(
+                base == c,
+                jnp.broadcast_to(eent_ref[c : c + 1, :], (BT, Kp)),
+                esel,
+            )
+        ve = ve_u * esel
         bw = bstack_ref[0]
         bls_i = blstack_ref[0][:, :1]
         logpb = logpb_ref[:, :1]
@@ -256,6 +271,8 @@ def make_fused_scorer(
 
     Afwd_j = jnp.asarray(Afwd)
     Abwd_j = jnp.asarray(Abwd)
+    uentp_j = jnp.asarray(uentp)
+    eentp_j = jnp.asarray(eentp)
     endp_j = jnp.asarray(endp)
     lmapp_j = jnp.asarray(lmapp)
     entp_j = jnp.asarray(entp)
@@ -299,7 +316,9 @@ def make_fused_scorer(
             in_specs=[
                 pl.BlockSpec((BT, Lp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((5 * Sp, Sp + Kp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((5 * Sp, Sp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Sp, Kp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, Kp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Sp, 128), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Sp, Hp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Sp, Kp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
@@ -328,8 +347,8 @@ def make_fused_scorer(
                 pltpu.VMEM((BT, Hp), jnp.float32),
             ],
             interpret=interpret,
-        )(seqs, lens_b, Afwd_j, endp_j, lmapp_j, entp_j, tmatp_j, diagp_j,
-          bstack, blstack, logpb)
+        )(seqs, lens_b, Afwd_j, uentp_j, eentp_j, endp_j, lmapp_j, entp_j,
+          tmatp_j, diagp_j, bstack, blstack, logpb)
 
         labels_w = pl.pallas_call(
             tb_kernel,

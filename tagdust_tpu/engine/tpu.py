@@ -263,7 +263,8 @@ class TpuEngine:
             interp = jax.default_backend() == "cpu"
             call, _, _, Hp = PK.make_fused_scorer(
                 lat.A,
-                lat.Aent,
+                lat.Uent,
+                lat.Eent,
                 lat.end,
                 np.asarray(self._dev["Lmap"]),
                 np.asarray(self._dev["ent_sel"]),

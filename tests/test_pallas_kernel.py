@@ -33,7 +33,7 @@ def test_pallas_matches_xla_engine():
     ent_sel = np.asarray(eng._dev["ent_sel"])
     Lp, BT = 16, 8
     call, Sp, Kp, Hp = PK.make_fused_scorer(
-        lat.A, lat.Aent, lat.end, Lmap, ent_sel, lat.begin, Lp, BT,
+        lat.A, lat.Uent, lat.Eent, lat.end, Lmap, ent_sel, lat.begin, Lp, BT,
         interpret=True, tmatrix=np.asarray(eng._dev["tmat"]),
     )
     rng = np.random.default_rng(0)
@@ -73,7 +73,7 @@ def test_pallas_long_reads_multibank_traceback():
     lat = eng.lat
     Lp, BT = 150, 8
     call, *_ = PK.make_fused_scorer(
-        lat.A, lat.Aent, lat.end,
+        lat.A, lat.Uent, lat.Eent, lat.end,
         np.asarray(eng._dev["Lmap"]), np.asarray(eng._dev["ent_sel"]),
         lat.begin, Lp, BT,
         interpret=True, tmatrix=np.asarray(eng._dev["tmat"]),
