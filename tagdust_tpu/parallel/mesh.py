@@ -94,3 +94,121 @@ class ShardedScorer:
         )
         out = self._fn(seqs_d, lens_d, jnp.float32(threshold))
         return out
+
+
+def _expected_lattice_counts(lat_dev, seqs, lens):
+    """Device-side Baum-Welch expectations in lattice state space.
+
+    Returns (CT [5, S, S], E [5, S], n_scored): posterior transition-mass
+    per (base, src, dst) and posterior emission counts per (base, state).
+    The per-step outer products run as [S, B] x [B, S] matmuls on the MXU.
+    Invariant (asserted by tests): E.sum() == sum(lens) — each emitted base
+    carries total posterior mass 1.
+    """
+    Afwd = lat_dev["Afwd"]  # [5S, S+K]
+    Abwd = lat_dev["Abwd"]
+    end = lat_dev["end"]
+    A3 = lat_dev["A3"]  # [5, S, S] raw step matrices
+    begin = lat_dev["begin"]
+    S = lat_dev["S"]
+
+    B, Lpad = seqs.shape
+    pos = jnp.arange(Lpad)
+    active = pos[None, :] < lens[:, None]
+    onehot = jax.nn.one_hot(seqs, 5, dtype=jnp.float32)
+
+    def expand(v, oh):
+        return (oh[:, :, None] * v[:, None, :]).reshape(v.shape[0], 5 * S)
+
+    def bwd_step(carry, x):
+        bv, ls = carry
+        oh, act = x
+        bn = expand(bv, oh) @ Abwd
+        m = jnp.max(bn, axis=1, keepdims=True)
+        m = jnp.where(m > 0, m, 1.0)
+        bn = bn / m
+        nls = ls + jnp.log(m[:, 0])
+        bv = jnp.where(act[:, None], bn, bv)
+        nls = jnp.where(act, nls, ls)
+        return (bv, nls), (bv, nls)
+
+    b0 = jnp.broadcast_to(end[None, :], (B, S))
+    ls0 = jnp.zeros((B,), jnp.float32)
+    xs_b = (jnp.swapaxes(onehot, 0, 1)[::-1], active.T[::-1])
+    (bfin, bls_fin), (bstack, blstack) = jax.lax.scan(bwd_step, (b0, ls0), xs_b)
+    bwd_stack = jnp.concatenate([bstack[::-1][1:], b0[None, :, :]], axis=0)
+    bls_stack = jnp.concatenate([blstack[::-1][1:], ls0[None, :]], axis=0)
+    logP = jnp.log(jnp.maximum(bfin[:, begin], 1e-38)) + bls_fin
+
+    def fwd_step(carry, x):
+        v, ls, CT, E = carry
+        oh, act, bw, bls = x
+        W = expand(v, oh)  # [B, 5S]
+        vn = W @ Afwd[:, :S]
+        w = jnp.exp(ls + bls - logP) * act  # [B]
+        # transition posterior: A[c][s,t] * v[s] * b[t] * w, batch-summed
+        Y = jnp.einsum("bx,bt->xt", W * w[:, None], bw)  # [5S, S]
+        CT = CT + Y.reshape(5, S, S) * A3
+        # emission posterior at the new position, scattered by base
+        occ = vn * bw * w[:, None]  # [B, S]
+        E = E + jnp.einsum("bc,bs->cs", oh, occ)
+        m = jnp.max(vn, axis=1, keepdims=True)
+        m = jnp.where(m > 0, m, 1.0)
+        v = jnp.where(act[:, None], vn / m, v)
+        ls = jnp.where(act, ls + jnp.log(m[:, 0]), ls)
+        return (v, ls, CT, E), None
+
+    v0 = jnp.zeros((B, S), jnp.float32).at[:, begin].set(1.0)
+    CT0 = jnp.zeros((5, S, S), jnp.float32)
+    E0 = jnp.zeros((5, S), jnp.float32)
+    xs_f = (jnp.swapaxes(onehot, 0, 1), active.T, bwd_stack, bls_stack)
+    (_, _, CT, E), _ = jax.lax.scan(fwd_step, (v0, ls0, CT0, E0), xs_f)
+    return CT, E, jnp.sum(lens)
+
+
+class DistributedTrainer:
+    """MODE_TRAIN over the mesh: per-shard Baum-Welch expected counts in
+    lattice space, reduced with psum — the collective analogue of the
+    reference's per-thread count merge (`copy_estimated_parameter`,
+    barcode_hmm.c:5694-5744, reduced at :1977-1992)."""
+
+    def __init__(self, engine: TpuEngine, mesh: Optional[Mesh] = None):
+        self.engine = engine
+        self.mesh = mesh or make_mesh()
+        lat_dev = dict(engine._dev)
+        lat_dev["A3"] = jnp.asarray(engine.lat.A)  # [5, S, S]
+
+        def per_shard(seqs, lens):
+            CT, E, n = _expected_lattice_counts(lat_dev, seqs, lens)
+            CT = jax.lax.psum(CT, "reads")
+            E = jax.lax.psum(E, "reads")
+            n = jax.lax.psum(n, "reads")
+            return CT, E, n
+
+        self._fn = jax.jit(
+            shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(P("reads", None), P("reads")),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        )
+
+    def run(self, seqs: np.ndarray, lens: np.ndarray):
+        n = self.mesh.devices.size
+        B = seqs.shape[0]
+        pad = (-B) % n
+        if pad:
+            seqs = np.concatenate([seqs, np.zeros((pad, seqs.shape[1]), seqs.dtype)])
+            lens = np.concatenate([lens, np.zeros(pad, lens.dtype)])
+        seqs_d = jax.device_put(
+            jnp.asarray(seqs.astype(np.int32)),
+            NamedSharding(self.mesh, P("reads", None)),
+        )
+        lens_d = jax.device_put(
+            jnp.asarray(lens.astype(np.int32)),
+            NamedSharding(self.mesh, P("reads")),
+        )
+        CT, E, total = self._fn(seqs_d, lens_d)
+        return np.asarray(CT), np.asarray(E), int(total)

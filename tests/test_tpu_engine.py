@@ -83,3 +83,36 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_distributed_trainer_device_count_invariance():
+    """psum-reduced BW expected counts are identical on a 1-device and an
+    8-device mesh (the TPU analogue of the reference's thread-count
+    invariance fixture, dev/test_data/thread_arch.txt)."""
+    import jax
+    import numpy as np
+
+    from tagdust_tpu.parallel.mesh import DistributedTrainer, make_mesh
+
+    from tagdust_tpu.engine.tpu import TpuEngine
+
+    rs = build_read_structure(["B:ACGTAC,TGCATG,CCAAGG", "R:N"])
+    mb = init_model_bag(rs, make_ssi(), 0.05, 0.1)
+    eng = TpuEngine(mb)
+    devs = jax.devices()
+    rng = np.random.default_rng(5)
+    B, L = 16, 24
+    seqs = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    lens = rng.integers(10, L, B).astype(np.int32)
+
+    t1 = DistributedTrainer(eng, make_mesh(devs[:1]))
+    CT1, E1, n1 = t1.run(seqs, lens)
+    t8 = DistributedTrainer(eng, make_mesh(devs))
+    CT8, E8, n8 = t8.run(seqs, lens)
+    assert n1 == n8 == int(lens.sum())
+    np.testing.assert_allclose(E1, E8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(CT1, CT8, rtol=1e-5, atol=1e-6)
+    # every emitted base carries total posterior mass 1
+    np.testing.assert_allclose(E1.sum(), float(n1), rtol=1e-4)
+    # transition mass: every consumed base crosses exactly one A[c] edge
+    np.testing.assert_allclose(CT1.sum(), float(n1), rtol=1e-4)
