@@ -118,10 +118,16 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
 
     thresholds = [0.0] * nfiles
     if not param.confidence_threshold:
+        # calibrate on the engine production will score with
+        kind = "tpu" if getattr(param, "engine", "auto") == "tpu" else "exact"
+
+        def _get_prob(mb, seq_list):
+            return run_get_prob(mb, seq_list, engine_kind=kind)
+
         for i in range(nfiles):
             log(f"Determining threshold for read{i}.\n")
             thresholds[i] = estimate_q_threshold(
-                param, read_structures[i], stats[i], run_get_prob
+                param, read_structures[i], stats[i], _get_prob
             )
             log(f"Selected Threshold:: {thresholds[i]:f}\n")
     # NOTE: with -Q given the reference leaves confidence_thresholds[] at 0.0

@@ -91,7 +91,7 @@ def score_reads(
     labels) on the reads.  Mirrors do_label_thread / do_probability_estimation
     (barcode_hmm.c:2174-2340)."""
     if engine_kind == "tpu":
-        return _score_reads_tpu(mb, reads, matchstart, matchend)
+        return _score_reads_tpu(mb, reads, matchstart, matchend, want_labels)
     eng = engine or get_engine(mb, "exact")
     for L, idxs, seqs in _build_batches(reads, matchstart, matchend):
         if L <= 0:
@@ -106,9 +106,10 @@ def score_reads(
                 reads[idx].labels = res.labels[bi]
 
 
-def _score_reads_tpu(mb, reads, matchstart, matchend):
+def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
     """TPU path: one padded rectangular batch per chunk (length bucketed to
-    multiples of 32 for compile-cache reuse)."""
+    multiples of 32 for compile-cache reuse; batch padded to powers of two
+    up to 32k, then 32k granules, bounding the compile-cache shapes)."""
     eng = get_engine(mb, "tpu")
     lens = []
     for r in reads:
@@ -117,11 +118,14 @@ def _score_reads_tpu(mb, reads, matchstart, matchend):
             L = matchend - matchstart
         lens.append(L)
     if not lens:
-        return
+        return None
     Lmax = max(lens)
     Lpad = ((Lmax + 31) // 32) * 32
     B = len(reads)
-    Bpad = 1 << max(8, (B - 1).bit_length())
+    if B <= 32768:
+        Bpad = 1 << max(8, (B - 1).bit_length())
+    else:
+        Bpad = ((B + 32767) // 32768) * 32768
     seqs = np.zeros((Bpad, Lpad), dtype=np.uint8)
     lens_arr = np.ones(Bpad, dtype=np.int32)
     for i, r in enumerate(reads):
@@ -133,15 +137,16 @@ def _score_reads_tpu(mb, reads, matchstart, matchend):
         lens_arr[i] = lens[i]
     try:
         if Lpad <= 4096:
-            res = eng.run_batch_pallas(seqs, lens_arr)
+            res = eng.run_batch_pallas(seqs, lens_arr, want_labels=want_labels)
         else:
             res = eng.run_batch(seqs, lens_arr)
     except Exception:
         res = eng.run_batch(seqs, lens_arr)
     for i, r in enumerate(reads):
         r.mapq = float(res.mapq[i])
-        r.labels = res.labels[i]
-    return res.labels[:B]
+        if res.labels is not None:
+            r.labels = res.labels[i]
+    return res.labels[:B] if res.labels is not None else None
 
 
 def run_get_label(
@@ -208,8 +213,14 @@ def _apply_filters(reads: List[Read], param, contaminants) -> None:
             dust_reads(reads[s : s + SL], param.dust)
 
 
-def run_get_prob(mb: ModelBag, seq_list: List[np.ndarray]) -> np.ndarray:
-    """MODE_GET_PROB for calibration: mapq per raw sequence."""
+def run_get_prob(
+    mb: ModelBag, seq_list: List[np.ndarray], engine_kind: str = "exact"
+) -> np.ndarray:
+    """MODE_GET_PROB for calibration: mapq per raw sequence.
+
+    With ``engine_kind='tpu'`` the threshold is calibrated on the same
+    scoring function production uses (and the 400k-read sweep runs on
+    device)."""
     reads = [Read(seq=s) for s in seq_list]
-    score_reads(mb, reads, want_labels=False)
+    score_reads(mb, reads, want_labels=False, engine_kind=engine_kind)
     return np.array([r.mapq for r in reads], dtype=np.float32)

@@ -320,8 +320,14 @@ class TpuEngine:
     # long reads are scored in sub-batches that keep the stack bounded.
     _PALLAS_STACK_BYTES = 2 << 30
 
-    def run_batch_pallas(self, seqs: np.ndarray, lens: np.ndarray) -> TpuBatchResult:
-        """Fused-kernel path; B must be a multiple of the tile (padded here)."""
+    def run_batch_pallas(
+        self, seqs: np.ndarray, lens: np.ndarray, want_labels: bool = True
+    ) -> TpuBatchResult:
+        """Fused-kernel path; B must be a multiple of the tile (padded here).
+
+        ``want_labels=False`` skips the device->host label transfer (the bulk
+        of the result bytes) — used by calibration/arch-detection, which only
+        consume scores."""
         B, Lp = seqs.shape
         fullfn, BT = self._get_pallas(Lp)
         Sp = (self.lat.S + 127) // 128 * 128
@@ -350,6 +356,6 @@ class TpuEngine:
             f_score=np.asarray(f_log)[:B],
             r_score=np.asarray(r_log)[:B],
             bar_prob=np.asarray(bar_log)[:B],
-            labels=np.asarray(labels)[:B],
+            labels=np.asarray(labels)[:B] if want_labels else None,
             mapq=np.asarray(mapq)[:B],
         )
