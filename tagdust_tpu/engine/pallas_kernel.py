@@ -44,6 +44,7 @@ def make_fused_scorer(
     BT: int = 256,
     interpret: bool = False,
     tmatrix: np.ndarray = None,  # [H, H] 0/1 label-compatibility
+    force_slow_label_dp: bool = False,  # testing hook for the fallback path
 ):
     """Returns fn(seqs [B, Lp] i32, lens [B] i32) ->
     (f_log [B], logP_b [B], labels [B, Lp+1] i32, tp [B, K]).
@@ -63,6 +64,38 @@ def make_fused_scorer(
     tmatp = tmp_
     diagp = np.zeros((8, Hp), dtype=np.float32)
     diagp[0, :H] = np.diagonal(tmatrix)
+
+    # ---- label-DP structure analysis ----
+    # The label-compatibility matrix has contiguous "can follow" windows per
+    # destination (barcode_hmm.c:5969-6006); most columns allow only
+    # themselves.  When that holds, the max-plus step needs vector ops for
+    # the diagonal columns plus one masked lane reduction per wide column —
+    # instead of an H-iteration unrolled loop.
+    tbin = (np.asarray(tmatrix) != 0.0)
+    wide_cols = []
+    fast_label_dp = True
+    for j in range(H):
+        src = np.nonzero(tbin[:, j])[0]
+        if src.size == 0 or src[-1] - src[0] + 1 != src.size:
+            fast_label_dp = False
+            break
+        if src.size == 1:
+            if src[0] != j:
+                fast_label_dp = False
+                break
+        else:
+            wide_cols.append((j, int(src[0]), int(src[-1])))
+    if len(wide_cols) > 8 or force_slow_label_dp:
+        fast_label_dp = False
+    narrowp = np.zeros((8, Hp), dtype=np.float32)
+    widemasks = np.zeros((max(len(wide_cols), 1), 8, Hp), dtype=np.float32)
+    if fast_label_dp:
+        wide_set = {j for j, _, _ in wide_cols}
+        for j in range(H):
+            if j not in wide_set:
+                narrowp[0, j] = 1.0
+        for w, (j, lo, hi) in enumerate(wide_cols):
+            widemasks[w, 0, lo : hi + 1] = 1.0
 
     Afwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
     Abwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
@@ -213,16 +246,42 @@ def make_fused_scorer(
         tp_scr[:, :] = tp
         # ---- fused optimal-accuracy label DP step (barcode_hmm.c:4451) ----
         dp = dp_scr[:, :]
-        mx = jnp.full((BT, Hp), -1.0, jnp.float32)
-        mv = jnp.full((BT, Hp), -1, jnp.int32)
-        for c in range(H):
-            cand = dp[:, c : c + 1] * tmat_ref[c : c + 1, :]
-            gt = cand > mx
-            mv = jnp.where(gt, c, mv)
-            mx = jnp.where(gt, cand, mx)
-        diag = dp * diag_ref[:1, :]
         jrow = jax.lax.broadcasted_iota(jnp.int32, (BT, Hp), 1)
-        mv = jnp.where(diag == mx, jrow, mv)
+        if fast_label_dp:
+            # diagonal-only columns read their own dp; each wide column is
+            # one masked lane reduction.  Tie semantics match the unrolled
+            # loop given dp >= 0 and a binary tmat: first maximal source,
+            # then the diagonal override (asserted by the equivalence tests)
+            narrow = jnp.full((BT, Hp), False)
+            for j, lo, hi in wide_cols:
+                narrow = narrow | (jrow == j)
+            narrow = ~narrow & (jrow < H)
+            mx = jnp.where(narrow, dp, -1.0)
+            mv = jrow
+            for j, lo, hi in wide_cols:
+                win = (jrow >= lo) & (jrow <= hi)
+                dpw = jnp.where(win, dp, -1.0)
+                m = jnp.max(dpw, axis=1, keepdims=True)
+                idx = jnp.min(
+                    jnp.where(dpw == m, jrow, Hp), axis=1, keepdims=True
+                )
+                dpj = jnp.sum(
+                    jnp.where(jrow == j, dp, 0.0), axis=1, keepdims=True
+                )
+                mvj = jnp.where(dpj == m, j, idx)
+                colm = jrow == j
+                mx = jnp.where(colm, jnp.broadcast_to(m, (BT, Hp)), mx)
+                mv = jnp.where(colm, jnp.broadcast_to(mvj, (BT, Hp)), mv)
+        else:
+            mx = jnp.full((BT, Hp), -1.0, jnp.float32)
+            mv = jnp.full((BT, Hp), -1, jnp.int32)
+            for c in range(H):
+                cand = dp[:, c : c + 1] * tmat_ref[c : c + 1, :]
+                gt = cand > mx
+                mv = jnp.where(gt, c, mv)
+                mx = jnp.where(gt, cand, mx)
+            diag = dp * diag_ref[:1, :]
+            mv = jnp.where(diag == mx, jrow, mv)
         ndp = plab + mx
         dp = jnp.where(act, ndp, dp)
         mv = jnp.where(act, mv, jrow)

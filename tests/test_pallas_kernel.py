@@ -90,3 +90,40 @@ def test_pallas_long_reads_multibank_traceback():
     for b in range(B):
         L = int(lens[b])
         np.testing.assert_array_equal(labels[b, 1 : L + 1], ref.labels[b, 1 : L + 1])
+
+
+def test_pallas_label_dp_fast_equals_slow():
+    """The structured label-DP step (diagonal columns + masked window
+    reductions) must reproduce the unrolled max-plus loop exactly."""
+    jnp = pytest.importorskip("jax.numpy")
+
+    from tagdust_tpu.engine import pallas_kernel as PK
+    from tagdust_tpu.engine.tpu import TpuEngine
+
+    rs = build_read_structure(["F:NN", "B:ACGTAC,TGCATG,CCAAGG", "S:TA", "R:N"])
+    ssi = SequenceStats()
+    ssi.average_length = 26
+    ssi.max_seq_len = 40
+    ssi.background = [float(p2sp(p)) for p in (0.27, 0.24, 0.26, 0.22, 0.01)]
+    ssi.mean_5_len = ssi.stdev_5_len = -1.0
+    ssi.mean_3_len = ssi.stdev_3_len = -1.0
+    mb = init_model_bag(rs, ssi, 0.05, 0.1)
+    eng = TpuEngine(mb)
+    lat = eng.lat
+    Lp, BT = 24, 8
+    kwargs = dict(interpret=True, tmatrix=np.asarray(eng._dev["tmat"]))
+    args = (
+        lat.A, lat.Uent, lat.Eent, lat.end,
+        np.asarray(eng._dev["Lmap"]), np.asarray(eng._dev["ent_sel"]),
+        lat.begin, Lp, BT,
+    )
+    fast, *_ = PK.make_fused_scorer(*args, **kwargs)
+    slow, *_ = PK.make_fused_scorer(*args, force_slow_label_dp=True, **kwargs)
+    rng = np.random.default_rng(9)
+    B = 16
+    seqs = rng.integers(0, 4, (B, Lp)).astype(np.int32)
+    lens = rng.integers(12, Lp, B).astype(np.int32)
+    ff, lpf, labf, tpf = fast(jnp.asarray(seqs), jnp.asarray(lens))
+    fs, lps, labs, tps = slow(jnp.asarray(seqs), jnp.asarray(lens))
+    np.testing.assert_array_equal(np.asarray(labf), np.asarray(labs))
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(fs), rtol=1e-6)
