@@ -143,3 +143,29 @@ def test_native_fastq_codec_equivalence(tmp_path):
     for x, y in zip(a, b):
         assert x.name == y.name and x.qual == y.qual
         assert np.array_equal(x.seq, y.seq)
+
+
+def test_name_check_reference_utest_cases():
+    """The full reference tagdustiotest matrix (io.c:2398-2572): CASAVA 1.8,
+    CASAVA <1.7 (#0/1), cross-format, and coordinate mismatches."""
+    cases = [
+        ("EAS139:136:FC706VJ:2:2104:15343:197393 1:Y:18:ATCACG",
+         "EAS139:136:FC706VJ:2:2104:15343:197393 2:Y:18:ATCACG", 0),
+        ("EAS139:136:FC706VJ:2:2104:15343:197393 2:Y:18:ATCACG",
+         "EAS139:136:FC706VJ:2:2104:15343:197393 1:Y:18:ATCACG", 0),
+        ("HWUSI-EAS100R:6:73:941:1973#0/1",
+         "HWUSI-EAS100R:6:73:941:1973#0/2", 0),
+        ("HWUSI-EAS100R:6:73:941:1973#0/2",
+         "HWUSI-EAS100R:6:73:941:1973#0/1", 0),
+        ("EAS139:136:FC706VJ:2:2104:15343:197393 2:Y:18:ATCACG",
+         "HWUSI-EAS100R:6:73:941:1973#0/1", 1),
+        ("EAS139:136:FC706VJ:2:2104:15343:197393 2:Y:18:ATCACG",
+         "EAS139:136:FC706VJ:2:2104:15343:197393 1:N:18:GGGACG", 0),
+        ("EAS139:136:FC706VJ:2:2104:15343:197393 2:Y:18:ATCACG",
+         "EAS139:136:FC706VJ:2:2104:15344:197393 1:N:18:GGGACG", 1),
+        ("HWUSI-EAS747_0040_FC64GRTAAXX:8:1:3268:1065#0/1",
+         "HWUSI-EAS747_0040_FC64GRTAAXX:8:1:3268:1065#0/2", 0),
+    ]
+    for n1, n2, want in cases:
+        reset_detection()
+        assert compare_read_names(n1, n2) == want, (n1, n2, want)
