@@ -25,7 +25,15 @@ def main(argv=None) -> None:
         print("tagdust_tpu 0.1.0")
         return
 
-    cli_rs = read_structure_from_params(param.segments)
+    try:
+        cli_rs = read_structure_from_params(param.segments)
+        if cli_rs.num_segments:
+            qc_read_structure(cli_rs)
+    except ValueError as e:
+        # QC failures surface as clean messages, not tracebacks
+        # (interface.c:759-792 appends to the log and exits)
+        sys.stderr.write(str(e) + "\n")
+        raise SystemExit(1)
     if cli_rs.num_segments == 0 and param.arch_file is None and param.infiles:
         # main.c:103-105: no architecture at all is an error ... except the
         # controller falls back to R:N per file when neither is given; the
@@ -34,7 +42,6 @@ def main(argv=None) -> None:
     if cli_rs.num_segments == 0 and param.arch_file is None:
         sys.stdout.write("ERROR: No read architecture found.\n")
         raise SystemExit(0)
-    qc_read_structure(cli_rs)
     if param.infiles == 0:
         sys.stdout.write("ERROR: No input file found.\n")
         raise SystemExit(0)

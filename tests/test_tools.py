@@ -117,3 +117,41 @@ def test_sam_input_demux(tmp_path):
     bc2 = open(os.path.join(cwd, "out_BC_ACTTGA.fq")).read()
     assert "@r1;" in bc1 and "@r4;" in bc2
     assert "r2" not in bc1 + bc2 and "r3" not in bc1 + bc2
+
+
+def test_cli_error_paths(tmp_path):
+    """QC and validation failures exit cleanly with the reference's messages
+    (interface.c:759-829; io.c:633-691; main.c:103-130)."""
+    cwd = str(tmp_path)
+    with open(os.path.join(cwd, "in.fq"), "w") as fh:
+        fh.write("@a\nACGTACGT\n+\nIIIIIIII\n")
+
+    def run(args):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        return subprocess.run(
+            [sys.executable, "-m", "tagdust_tpu.cli.tagdust", *args],
+            cwd=cwd, env=env, capture_output=True, text=True,
+        )
+
+    # skipped segment slot (-1 then -3)
+    r = run(["-1", "B:ACGT,TGCA", "-3", "R:N", "-Q", "1", "in.fq", "-o", "x1"])
+    assert r.returncode == 1
+    assert "building block was skipped" in r.stderr
+    assert "Traceback" not in r.stderr
+
+    # unequal alternative lengths in one segment
+    r = run(["-1", "B:AC,GGG", "-2", "R:N", "-Q", "1", "in.fq", "-o", "x2"])
+    assert r.returncode == 1
+    assert "same length" in r.stderr
+    assert "Traceback" not in r.stderr
+
+    # refuses to overwrite existing outputs
+    open(os.path.join(cwd, "x3_BC_ACGT.fq"), "w").close()
+    r = run(["-1", "B:ACGT,TGCA", "-2", "R:N", "-Q", "1", "in.fq", "-o", "x3"])
+    assert r.returncode != 0
+    assert "already exists" in (r.stderr + r.stdout)
+
+    # missing input file
+    r = run(["-1", "B:ACGT,TGCA", "-2", "R:N", "-Q", "1", "nope.fq", "-o", "x4"])
+    assert "does not exists" in r.stdout
