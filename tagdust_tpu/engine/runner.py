@@ -205,8 +205,11 @@ def run_rna_dust(reads: List[Read], param, contaminants=None) -> None:
 
 def _apply_filters(reads: List[Read], param, contaminants) -> None:
     if contaminants is not None:
+        on_device = getattr(param, "engine", "auto") == "tpu"
         for s, e in thread_slices(len(reads), param.num_threads):
-            match_to_reference(reads[s:e], contaminants, param.filter_error)
+            match_to_reference(
+                reads[s:e], contaminants, param.filter_error, device=on_device
+            )
     if param.dust:
         SL = 16384
         for s in range(0, len(reads), SL):

@@ -234,16 +234,29 @@ def _bpm_batch(text: np.ndarray, B4: np.ndarray, m: np.ndarray) -> np.ndarray:
 
 
 def match_to_reference(
-    reads: List[Read], contaminant_seqs: List[np.ndarray], error_cut: int
+    reads: List[Read],
+    contaminant_seqs: List[np.ndarray],
+    error_cut: int,
+    device: bool = False,
 ) -> None:
     """barcode_hmm.c:2478-2583 semantics: for each read take, over all
     contaminants and both orientations, the minimum distance computed by
     the (pattern = read) kernel; mark EXTRACT_SUCCESS reads whose best
     distance <= error_cut.  Runs the Myers recurrence batch-wide (one uint64
-    lane per read) instead of per read."""
+    lane per read) instead of per read; ``device=True`` runs the same
+    recurrence on the accelerator (uint32-pair lanes,
+    engine/myers_tpu.py)."""
     B = len(reads)
     if B == 0 or not contaminant_seqs:
         return
+    kernel = _bpm_batch
+    if device:
+        try:
+            from .engine.myers_tpu import bpm_batch_device
+
+            kernel = bpm_batch_device
+        except Exception:
+            kernel = _bpm_batch
     W = 63
     lens = np.zeros(B, dtype=np.int32)
     fwd = np.full((B, W), SPACER, dtype=np.uint8)
@@ -265,7 +278,7 @@ def match_to_reference(
     best_id = np.zeros(B, dtype=np.int64)
     for j, ref in enumerate(contaminant_seqs):
         for B4 in (B4f, B4r):
-            d = _bpm_batch(ref, B4, lens)
+            d = kernel(ref, B4, lens)
             better = d < best
             best = np.where(better, d, best)
             best_id = np.where(better, j + 1, best_id)

@@ -163,3 +163,32 @@ def test_batched_artifact_filter_matches_scalar():
         assert a.read_type == b.read_type, (i, a.read_type, b.read_type)
         n_marked += a.read_type != EXTRACT_SUCCESS
     assert n_marked > 5  # the planted contaminants were caught
+
+
+def test_device_myers_matches_host():
+    """bpm_batch_device (uint32-pair lanes, lax.scan over the shared text)
+    == the host uint64 batched kernel across pattern lengths 1..63."""
+    import pytest
+
+    pytest.importorskip("jax")
+    from tagdust_tpu.constants import SPACER
+    from tagdust_tpu.engine.myers_tpu import bpm_batch_device
+    from tagdust_tpu.filters import _bpm_batch, _pattern_masks
+
+    rng = np.random.default_rng(31)
+    B = 97
+    W = 63
+    pats = np.full((B, W), SPACER, dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i in range(B):
+        L = int(rng.integers(1, 64))
+        lens[i] = L
+        row = rng.integers(0, 5, L).astype(np.uint8)
+        row[rng.random(L) < 0.15] = SPACER
+        pats[i, :L] = row
+    B4 = _pattern_masks(pats, lens)
+    for tl in (7, 64, 150):
+        text = rng.integers(0, 4, tl).astype(np.uint8)
+        host = _bpm_batch(text, B4, lens)
+        dev = bpm_batch_device(text, B4, lens)
+        np.testing.assert_array_equal(host, dev, err_msg=f"text len {tl}")
