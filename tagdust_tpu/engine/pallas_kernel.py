@@ -87,15 +87,6 @@ def make_fused_scorer(
             wide_cols.append((j, int(src[0]), int(src[-1])))
     if len(wide_cols) > 8 or force_slow_label_dp:
         fast_label_dp = False
-    narrowp = np.zeros((8, Hp), dtype=np.float32)
-    widemasks = np.zeros((max(len(wide_cols), 1), 8, Hp), dtype=np.float32)
-    if fast_label_dp:
-        wide_set = {j for j, _, _ in wide_cols}
-        for j in range(H):
-            if j not in wide_set:
-                narrowp[0, j] = 1.0
-        for w, (j, lo, hi) in enumerate(wide_cols):
-            widemasks[w, 0, lo : hi + 1] = 1.0
 
     Afwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
     Abwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
