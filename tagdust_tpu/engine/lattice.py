@@ -67,6 +67,84 @@ class Lattice:
     label_table: np.ndarray  # int64 per label (hmm<<16)|segment
 
 
+def compile_count_decomposition(mb: ModelBag):
+    """Split every lattice edge A[c][s,t] into the reference's count
+    categories so psum-reduced lattice counts (parallel/mesh.py) map back to
+    per-segment expected counts (train.Counts).
+
+    Returns (entry [5,S,S], direct [5,S,S], dpart [5,S,S], meta) with
+    entry+direct+dpart == A exactly; meta[t] = (segment, hmm, col, kind)
+    where kind is 'M' or 'I'.  ``direct`` carries the MM/IM (into M) and
+    II/MI (into I) edges; ``dpart`` is the D-chain remainder, counted as DM
+    at arrival (matching forward_extract_posteriors, which books the whole
+    delete chain against the DM transition)."""
+    lat = compile_lattice(mb)
+    S = lat.S
+    A = lat.A.astype(np.float64)
+    entry = np.zeros((5, S, S), dtype=np.float64)
+    direct = np.zeros((5, S, S), dtype=np.float64)
+    meta: dict = {}
+
+    # rebuild the index map and silent rows exactly as compile_lattice does
+    idx = {}
+    Scnt = 0
+    for j, m in enumerate(mb.models):
+        for f in range(m.num_hmms):
+            for g in range(m.num_cols):
+                idx[("M", j, f, g)] = Scnt
+                Scnt += 1
+                idx[("I", j, f, g)] = Scnt
+                Scnt += 1
+    BEGIN = Scnt
+    nm = mb.num_models
+    trans = [_lin(m.trans) for m in mb.models]
+    me = [_lin(m.m_emit) for m in mb.models]
+    ie = [_lin(m.i_emit) for m in mb.models]
+    s2M = [_lin(m.silent_to_M) for m in mb.models]
+    s2I = [_lin(m.silent_to_I) for m in mb.models]
+    skip = [float(np.exp(np.float64(m.skip))) for m in mb.models]
+    u = np.zeros((nm, S), dtype=np.float64)
+    for j, m in enumerate(mb.models):
+        if j > 0:
+            u[j] += u[j - 1] * (skip[j] * m.num_hmms)
+        for f in range(m.num_hmms):
+            for g in range(m.num_cols):
+                u[j, idx[("M", j, f, g)]] += trans[j][f, g, MSKIP]
+                u[j, idx[("I", j, f, g)]] += trans[j][f, g, ISKIP]
+    beta = np.zeros(nm + 1, dtype=np.float64)
+    beta[0] = 1.0
+    acc = 1.0
+    for j in range(nm):
+        acc *= skip[j]
+        beta[j + 1] = acc
+
+    for j, m in enumerate(mb.models):
+        psrow = np.zeros(S, dtype=np.float64)
+        if j - 1 >= 0:
+            psrow[:] = u[j - 1]
+            psrow[BEGIN] = beta[j]
+        else:
+            psrow[BEGIN] = beta[0]
+        for f in range(m.num_hmms):
+            for g in range(m.num_cols):
+                dM = idx[("M", j, f, g)]
+                dI = idx[("I", j, f, g)]
+                meta[dM] = (j, f, g, "M")
+                meta[dI] = (j, f, g, "I")
+                for c in range(5):
+                    entry[c, :, dM] = psrow * s2M[j][f, g] * me[j][f, g, c]
+                    entry[c, :, dI] = psrow * s2I[j][f, g] * ie[j][f, g, c]
+                    if g >= 1:
+                        pM = idx[("M", j, f, g - 1)]
+                        pI = idx[("I", j, f, g - 1)]
+                        direct[c, pM, dM] = trans[j][f, g - 1, MM] * me[j][f, g, c]
+                        direct[c, pI, dM] = trans[j][f, g - 1, IM] * me[j][f, g, c]
+                    direct[c, dI, dI] = trans[j][f, g, II] * ie[j][f, g, c]
+                    direct[c, dM, dI] = trans[j][f, g, MI] * ie[j][f, g, c]
+    dpart = A - entry - direct
+    return entry, direct, dpart, meta
+
+
 def compile_lattice(mb: ModelBag) -> Lattice:
     nm = mb.num_models
     # enumerate emitting states: segment-major, hmm, column, M then I

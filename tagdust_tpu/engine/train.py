@@ -148,6 +148,61 @@ def expected_counts(mb: ModelBag, seqs: np.ndarray, L: int) -> Counts:
     return counts
 
 
+def lattice_counts_to_counts(mb: ModelBag, CT: np.ndarray, E: np.ndarray) -> Counts:
+    """Map psum-reduced lattice-space expectations (CT [5,S,S] transition
+    mass, E [5,S] emission mass from parallel.mesh.DistributedTrainer) back
+    to the reference's per-segment count arrays, so `reestimate` can consume
+    fully distributed counts.
+
+    Each lattice edge's mass splits across the reference count categories in
+    proportion to that category's share of the edge weight
+    (compile_count_decomposition); emissions come from E directly."""
+    from .lattice import compile_count_decomposition
+
+    entry, direct, dpart, meta = compile_count_decomposition(mb)
+    A = entry + direct + dpart
+    with np.errstate(divide="ignore", invalid="ignore"):
+        share = np.where(A > 0, CT.astype(np.float64) / A, 0.0)
+
+    counts = Counts(
+        trans=[np.zeros((m.num_hmms, m.num_cols, 9)) for m in mb.models],
+        m_emit=[np.zeros((m.num_hmms, m.num_cols, 5)) for m in mb.models],
+        i_emit=[np.zeros((m.num_hmms, m.num_cols, 5)) for m in mb.models],
+        s2M=[np.zeros((m.num_hmms, m.num_cols)) for m in mb.models],
+        s2I=[np.zeros((m.num_hmms, m.num_cols)) for m in mb.models],
+    )
+    entry_mass = (share * entry).sum(axis=(0, 1))  # per dst
+    dm_mass = (share * dpart).sum(axis=(0, 1))
+    direct_mass = (share * direct).sum(axis=0)  # [S, S]
+
+    idx = {}
+    Scnt = 0
+    for j, m in enumerate(mb.models):
+        for f in range(m.num_hmms):
+            for g in range(m.num_cols):
+                idx[("M", j, f, g)] = Scnt
+                Scnt += 1
+                idx[("I", j, f, g)] = Scnt
+                Scnt += 1
+
+    for t, (j, f, g, kind) in meta.items():
+        if kind == "M":
+            counts.m_emit[j][f, g] += E[:, t]
+            counts.s2M[j][f, g] += entry_mass[t]
+            if g >= 1:
+                pM = idx[("M", j, f, g - 1)]
+                pI = idx[("I", j, f, g - 1)]
+                counts.trans[j][f, g - 1, MM] += direct_mass[pM, t]
+                counts.trans[j][f, g - 1, IM] += direct_mass[pI, t]
+                counts.trans[j][f, g - 1, DM] += dm_mass[t]
+        else:
+            counts.i_emit[j][f, g] += E[:, t]
+            counts.s2I[j][f, g] += entry_mass[t]
+            counts.trans[j][f, g, II] += direct_mass[t, t]
+            counts.trans[j][f, g, MI] += direct_mass[idx[("M", j, f, g)], t]
+    return counts
+
+
 def reestimate(mb: ModelBag, counts: Counts, pseudocount: float = 1.0) -> ModelBag:
     """+pseudocount Laplace renormalisation into a new parameter set
     (reference reestimate mode 0, barcode_hmm.c:5459-5679)."""

@@ -212,3 +212,12 @@ class DistributedTrainer:
         )
         CT, E, total = self._fn(seqs_d, lens_d)
         return np.asarray(CT), np.asarray(E), int(total)
+
+    def expected_segment_counts(self, seqs: np.ndarray, lens: np.ndarray):
+        """Full distributed MODE_TRAIN step: device expectations, psum
+        reduce, then mapping back to the reference's per-segment count
+        arrays — feed the result to `engine.train.reestimate`."""
+        from ..engine.train import lattice_counts_to_counts
+
+        CT, E, _ = self.run(seqs, lens)
+        return lattice_counts_to_counts(self.engine.mb, CT, E)

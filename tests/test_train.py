@@ -61,3 +61,57 @@ def test_expected_counts_and_reestimate():
             for g in range(m.num_cols):
                 em = np.exp(m.m_emit[f, g].astype(np.float64))
                 assert abs(em.sum() - 1.0) < 1e-3
+
+
+def test_distributed_counts_map_to_reference_counts():
+    """DistributedTrainer counts (lattice space, psum-reduced) mapped back
+    via lattice_counts_to_counts must agree with the host expected_counts
+    (the forward_extract_posteriors replica) up to engine float drift."""
+    import jax
+    import numpy as np
+
+    from tagdust_tpu.engine.tpu import TpuEngine
+    from tagdust_tpu.engine.train import (
+        expected_counts,
+        lattice_counts_to_counts,
+    )
+    from tagdust_tpu.parallel.mesh import DistributedTrainer, make_mesh
+
+    _, _, mb = _mb()
+    rng = np.random.default_rng(12)
+    B, L = 12, 16
+    seqs_core = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    lens = np.full(B, L, dtype=np.int32)
+
+    # host reference: [B, L+1] with terminator slot like ExactEngine
+    seqs_term = np.zeros((B, L + 1), dtype=np.uint8)
+    seqs_term[:, :L] = seqs_core
+    host = expected_counts(mb, seqs_term, L)
+
+    eng = TpuEngine(mb)
+    trainer = DistributedTrainer(eng, make_mesh(jax.devices()[:2]))
+    CT, E, total = trainer.run(seqs_core, lens)
+    assert total == int(lens.sum())
+    mapped = lattice_counts_to_counts(mb, CT, E)
+
+    for j in range(mb.num_models):
+        np.testing.assert_allclose(
+            mapped.m_emit[j], host.m_emit[j], rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            mapped.i_emit[j], host.i_emit[j], rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            mapped.s2M[j], host.s2M[j], rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            mapped.s2I[j], host.s2I[j], rtol=2e-3, atol=2e-3
+        )
+        for tr in (0, 1, 3, 4, 6):  # MM, MI, II, IM, DM
+            np.testing.assert_allclose(
+                mapped.trans[j][..., tr],
+                host.trans[j][..., tr],
+                rtol=5e-3,
+                atol=5e-3,
+                err_msg=f"segment {j} trans {tr}",
+            )
