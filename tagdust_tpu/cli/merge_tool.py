@@ -25,17 +25,36 @@ from ..namecheck import compare_read_names
 
 _OUT_ALPHA = "ACGTC"  # sic (merge.c:572)
 
+# per-qual-byte probability, scalar libm pow for bit-parity with the
+# per-base loop it replaces
+_SCORE_LUT = np.array(
+    [1.0 - 10.0 ** (-(qv - 33) / 10.0) for qv in range(256)], dtype=np.float64
+)
+
+_DIAG_CACHE: dict = {}
+
+
+def _diag_index(F: int, R: int):
+    """Flattened diagonal-id matrix for [F, R]: k = (j - i) + F - 1."""
+    key = (F, R)
+    if key not in _DIAG_CACHE:
+        i = np.arange(F)[:, None]
+        j = np.arange(R)[None, :]
+        _DIAG_CACHE[key] = (((j - i) + F - 1).ravel(), F + R - 1)
+    return _DIAG_CACHE[key]
+
 
 def _profiles(seq: np.ndarray, qual: str) -> np.ndarray:
     n = seq.shape[0]
-    p = np.empty((n, 4), dtype=np.float64)
-    for i in range(n):
-        score = 1.0 - 10.0 ** (-(ord(qual[i]) - 33) / 10.0)
-        if seq[i] > 3:
-            p[i, :] = 0.25
-        else:
-            p[i, :] = (1.0 - score) / 3.0
-            p[i, int(seq[i])] = score
+    if n == 0:
+        return np.empty((0, 4), dtype=np.float64)
+    q = np.frombuffer(qual.encode("latin-1"), dtype=np.uint8)
+    score = _SCORE_LUT[q]
+    p = np.broadcast_to(((1.0 - score) / 3.0)[:, None], (n, 4)).copy()
+    known = seq <= 3
+    rows = np.nonzero(known)[0]
+    p[rows, seq[known].astype(np.int64)] = score[known]
+    p[~known] = 0.25
     return p
 
 
@@ -46,27 +65,29 @@ def overlap_reads(fseq, fqual, rseq, rqual, min_overlap: int, threshold: float):
     len_f = fseq.shape[0]
     len_r = rseq.shape[0]
 
-    max_score = -math.inf
+    # every overlap score is a diagonal sum of log(pa @ pb.T): one matmul +
+    # one bincount over diagonal indices replaces the per-offset inner loops
+    # of merge.c:478-558 (identical float64 values and tie order, asserted
+    # byte-identical against the scalar loops)
     best_d = -1
-    d = 0
-    # offsets starting inside f
-    for i in range(len_f):
-        if len_f - i > min_overlap and len_r > min_overlap:
-            n = min(len_f - i, len_r)
-            s = np.sum(np.log(np.sum(pa[i : i + n] * pb[:n], axis=1)))
-            if s > max_score:
-                max_score = s
-                best_d = d
-        d += 1
-    # offsets starting inside r
-    for j in range(len_r):
-        if len_f > min_overlap and len_r - j > min_overlap:
-            n = min(len_f, len_r - j)
-            s = np.sum(np.log(np.sum(pa[:n] * pb[j : j + n], axis=1)))
-            if s > max_score:
-                max_score = s
-                best_d = d
-        d += 1
+    if len_f and len_r:
+        LD = np.log(pa @ pb.T)  # [len_f, len_r]
+        diag_idx, nset = _diag_index(len_f, len_r)
+        diag_sums = np.bincount(diag_idx, weights=LD.ravel(), minlength=nset)
+        # offset d in [0, len_f): diagonal -d; d in [len_f, len_f+len_r):
+        # diagonal d-len_f.  Invalid offsets (overlap <= min_overlap) -> -inf
+        scores = np.full(len_f + len_r, -math.inf)
+        if len_r > min_overlap:
+            ii = np.arange(len_f)
+            ok = (len_f - ii) > min_overlap
+            scores[ii[ok]] = diag_sums[(len_f - 1) - ii[ok]]
+        if len_f > min_overlap:
+            jj = np.arange(len_r)
+            ok = (len_r - jj) > min_overlap
+            scores[len_f + jj[ok]] = diag_sums[(len_f - 1) + jj[ok]]
+        d = int(np.argmax(scores))
+        if scores[d] != -math.inf:
+            best_d = d
 
     if best_d < 0:
         return None, None
