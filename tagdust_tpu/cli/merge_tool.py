@@ -31,6 +31,10 @@ _SCORE_LUT = np.array(
     [1.0 - 10.0 ** (-(qv - 33) / 10.0) for qv in range(256)], dtype=np.float64
 )
 
+_OUT_LUT = np.full(256, ord("N"), dtype=np.uint8)
+for _i, _ch in enumerate(_OUT_ALPHA):
+    _OUT_LUT[_i] = ord(_ch)
+
 _DIAG_CACHE: dict = {}
 
 
@@ -92,49 +96,55 @@ def overlap_reads(fseq, fqual, rseq, rqual, min_overlap: int, threshold: float):
     if best_d < 0:
         return None, None
 
-    out = []
-    oq = []
+    # consensus: slices + vector ops; only mismatch positions fall back to
+    # the scalar max-profile pick (interleaved pa/pb tie order preserved)
     if best_d < len_f:
-        li, lj = best_d, 0
-        for i in range(li):
-            out.append(_OUT_ALPHA[int(fseq[i])])
-            oq.append(fqual[i])
+        li0, lj0 = best_d, 0
     else:
-        li, lj = 0, best_d - len_f
-        for j in range(lj):
-            out.append(_OUT_ALPHA[int(rseq[j])])
-            oq.append(rqual[j])
-    ident = 0.0
-    aligned = 0.0
-    while li != len_f and lj != len_r:
-        if fseq[li] == rseq[lj]:
-            out.append(_OUT_ALPHA[int(fseq[li])])
-            ident += 1.0
-        else:
-            mx = -math.inf
-            nuc = 0
-            for c in range(4):
-                if pa[li, c] > mx:
-                    mx = pa[li, c]
-                    nuc = c
-                if pb[lj, c] > mx:
-                    mx = pb[lj, c]
-                    nuc = c
-            out.append(_OUT_ALPHA[nuc])
-        oq.append(max(fqual[li], rqual[lj]))
-        aligned += 1.0
-        li += 1
-        lj += 1
-    for i in range(li, len_f):
-        out.append(_OUT_ALPHA[int(fseq[i])])
-        oq.append(fqual[i])
-    for j in range(lj, len_r):
-        out.append(_OUT_ALPHA[int(rseq[j])])
-        oq.append(rqual[j])
+        li0, lj0 = 0, best_d - len_f
+    n_ov = min(len_f - li0, len_r - lj0)
+    fq = np.frombuffer(fqual.encode("latin-1"), dtype=np.uint8)
+    rq = np.frombuffer(rqual.encode("latin-1"), dtype=np.uint8)
 
-    if aligned > 0 and ident / aligned >= threshold:
-        return "".join(out), "".join(oq)
-    return None, None
+    fs = fseq[li0 : li0 + n_ov]
+    rs2 = rseq[lj0 : lj0 + n_ov]
+    eq = fs == rs2
+    ident = float(eq.sum())
+    aligned = float(n_ov)
+    cons = np.where(eq, fs, 0).astype(np.uint8)
+    for k in np.nonzero(~eq)[0]:
+        mx = -math.inf
+        nuc = 0
+        i, j = li0 + int(k), lj0 + int(k)
+        for c in range(4):
+            if pa[i, c] > mx:
+                mx = pa[i, c]
+                nuc = c
+            if pb[j, c] > mx:
+                mx = pb[j, c]
+                nuc = c
+        cons[k] = nuc
+    if aligned <= 0 or ident / aligned < threshold:
+        return None, None
+
+    seq_parts = []
+    qual_parts = []
+    if best_d < len_f:
+        seq_parts.append(fseq[:li0])
+        qual_parts.append(fq[:li0])
+    else:
+        seq_parts.append(rseq[:lj0])
+        qual_parts.append(rq[:lj0])
+    seq_parts.append(cons)
+    qual_parts.append(np.maximum(fq[li0 : li0 + n_ov], rq[lj0 : lj0 + n_ov]))
+    seq_parts.append(fseq[li0 + n_ov :])
+    qual_parts.append(fq[li0 + n_ov :])
+    seq_parts.append(rseq[lj0 + n_ov :])
+    qual_parts.append(rq[lj0 + n_ov :])
+    codes = np.concatenate(seq_parts)
+    out = _OUT_LUT[codes].tobytes().decode("latin-1")
+    oq = np.concatenate(qual_parts).tobytes().decode("latin-1")
+    return out, oq
 
 
 def main(argv=None) -> None:
