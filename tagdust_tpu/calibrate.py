@@ -198,7 +198,15 @@ def estimate_q_threshold(param, rs, ssi, run_get_prob) -> float:
             from .engine.native import FlatModel
 
             flat = FlatModel(mb)
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — loud downgrade, strict re-raise
+            from .strict import fallback
+
+            fallback(
+                "native-emitters",
+                e,
+                "native C++ read emitters unavailable; calibration emits "
+                "reads in pure Python (much slower)",
+            )
             flat = None
     if flat is not None:
         state = int(rng.next)

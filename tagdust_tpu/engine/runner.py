@@ -24,6 +24,7 @@ from ..extract import compute_q, extract_batch, extract_read
 from ..filters import dust_reads, match_to_reference
 from ..io.fastq import Read
 from ..model import ModelBag
+from ..strict import fallback
 from .exact import ExactEngine
 
 _F32 = np.float32
@@ -140,7 +141,13 @@ def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
             res = eng.run_batch_pallas(seqs, lens_arr, want_labels=want_labels)
         else:
             res = eng.run_batch(seqs, lens_arr)
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — loud downgrade, strict re-raise
+        fallback(
+            "pallas-scorer",
+            e,
+            "fused Pallas pipeline failed; scoring on the XLA scan engine "
+            "(~17x slower)",
+        )
         res = eng.run_batch(seqs, lens_arr)
     for i, r in enumerate(reads):
         r.mapq = float(res.mapq[i])

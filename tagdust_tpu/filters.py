@@ -255,7 +255,15 @@ def match_to_reference(
             from .engine.myers_tpu import bpm_batch_device
 
             kernel = bpm_batch_device
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — loud downgrade, strict re-raise
+            from .strict import fallback
+
+            fallback(
+                "myers-device",
+                e,
+                "device Myers kernel unavailable; artifact filter runs on "
+                "host uint64 lanes",
+            )
             kernel = _bpm_batch
     W = 63
     lens = np.zeros(B, dtype=np.int32)

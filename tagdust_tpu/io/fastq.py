@@ -115,7 +115,15 @@ class SeqReader:
                 from .native_io import FastParser
 
                 self._fast = FastParser(self.stream, self.is_fasta)
-            except Exception:
+            except Exception as e:  # noqa: BLE001 — loud downgrade, strict re-raise
+                from ..strict import fallback
+
+                fallback(
+                    "native-fastq-codec",
+                    e,
+                    "native C++ FASTQ/FASTA codec unavailable; parsing with "
+                    "the Python line-state parser",
+                )
                 self._fast = None
 
     def close(self) -> None:
