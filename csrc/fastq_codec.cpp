@@ -55,37 +55,53 @@ long td_parse_fastq(const char* buf, long n, long max_records, int at_eof,
             if (pos < n) pos++;
             continue;
         }
+        // Truncated records at EOF are emitted partially (header-only, or
+        // seq without qual) exactly like the line-state parser the
+        // reference uses (io.c:1684-1815): a read is appended when its
+        // header is seen, later lines only fill it in.
         bool fasta = buf[pos] == '>';
         long hstart = pos + 1;
         long p = hstart;
         while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
-        if (p >= n) break;  // incomplete header
+        if (p >= n && !at_eof) break;  // incomplete header: wait for data
         long hend = p;
-        while (p < n && (buf[p] == '\n' || buf[p] == '\r')) p++;
-        // sequence line
-        long sstart = p;
-        while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
-        if (p >= n && !(fasta && at_eof)) break;
-        long send = p;
-        while (p < n && (buf[p] == '\n' || buf[p] == '\r')) p++;
-        long slen = send - sstart;
+        long sstart = p, send = p;
         long qstart = 0, qlen = 0;
-        if (!fasta) {
-            if (p >= n || buf[p] != '+') break;
-            while (p < n && buf[p] != '\n') p++;
-            if (p >= n) break;
-            p++;
-            qstart = p;
-            while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
-            if (p >= n && !at_eof) break;  // qual line may be truncated
-            long qend = p;
-            if (qend - qstart != slen) {
-                // malformed; fail hard like the reference length check
-                return -1;
-            }
-            qlen = qend - qstart;
+        if (p < n) {
             while (p < n && (buf[p] == '\n' || buf[p] == '\r')) p++;
+            // sequence line
+            sstart = p;
+            while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
+            if (p >= n && !at_eof) break;
+            send = p;
+            while (p < n && (buf[p] == '\n' || buf[p] == '\r')) p++;
+            long slen = send - sstart;
+            if (!fasta && p < n) {
+                if (buf[p] != '+') break;
+                while (p < n && buf[p] != '\n') p++;
+                if (p >= n && !at_eof) break;
+                if (p < n) {
+                    p++;
+                    if (p >= n && !at_eof) break;  // qual not arrived yet
+                    if (p < n) {  // a qual line exists (maybe empty)
+                        qstart = p;
+                        while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
+                        if (p >= n && !at_eof) break;  // qual may be truncated
+                        long qend = p;
+                        if (qend - qstart != slen) {
+                            // malformed; fail hard like the reference check
+                            return -1;
+                        }
+                        qlen = qend - qstart;
+                        while (p < n && (buf[p] == '\n' || buf[p] == '\r')) p++;
+                    }
+                    // else: EOF right after '+': qual never arrived -> absent
+                }
+            } else if (!fasta && !at_eof) {
+                break;  // '+' line not arrived yet
+            }
         }
+        long slen = send - sstart;
         if (arena + slen > seq_arena_cap) break;
         name_off[rec] = hstart;
         name_len[rec] = (int)(hend - hstart);

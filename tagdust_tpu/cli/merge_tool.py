@@ -14,6 +14,7 @@ prints as 'C' (``merge.c:572``).
 
 from __future__ import annotations
 
+import functools
 import math
 import sys
 
@@ -35,17 +36,15 @@ _OUT_LUT = np.full(256, ord("N"), dtype=np.uint8)
 for _i, _ch in enumerate(_OUT_ALPHA):
     _OUT_LUT[_i] = ord(_ch)
 
-_DIAG_CACHE: dict = {}
-
-
+@functools.lru_cache(maxsize=8)
 def _diag_index(F: int, R: int):
-    """Flattened diagonal-id matrix for [F, R]: k = (j - i) + F - 1."""
-    key = (F, R)
-    if key not in _DIAG_CACHE:
-        i = np.arange(F)[:, None]
-        j = np.arange(R)[None, :]
-        _DIAG_CACHE[key] = (((j - i) + F - 1).ravel(), F + R - 1)
-    return _DIAG_CACHE[key]
+    """Flattened diagonal-id matrix for [F, R]: k = (j - i) + F - 1.
+
+    Bounded cache: variable-length pairs (quality-trimmed input) would
+    otherwise accumulate one F*R int64 array per distinct length pair."""
+    i = np.arange(F)[:, None]
+    j = np.arange(R)[None, :]
+    return (((j - i) + F - 1).ravel(), F + R - 1)
 
 
 def _profiles(seq: np.ndarray, qual: str) -> np.ndarray:

@@ -113,6 +113,7 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
                 param.num_query,
                 param.matchstart,
                 param.matchend,
+                sam_filter=param.filter,
             )
         )
 
@@ -146,7 +147,9 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         contaminant_names, contaminants = read_fasta_contaminants(param.reference_fasta)
     mer_hash = [0] * (len(contaminants) if contaminants else 0)
 
-    readers = [SeqReader(param.infile[i]) for i in range(nfiles)]
+    readers = [
+        SeqReader(param.infile[i], sam_filter=param.filter) for i in range(nfiles)
+    ]
 
     counters = {
         "total": 0,

@@ -48,7 +48,10 @@ def test_architectures(param, file_num: int, log=None) -> ReadStructure:
         log(f"Searching for best architecture in file '{param.arch_file}'\n")
     for line, specs in entries:
         rs = build_read_structure(specs)
-        ssi = get_sequence_stats(path, rs, num_query, param.matchstart, param.matchend)
+        ssi = get_sequence_stats(
+            path, rs, num_query, param.matchstart, param.matchend,
+            sam_filter=param.filter,
+        )
         qc_read_structure(rs)
         mb = init_model_bag(rs, ssi, param.sequencer_error_rate, param.indel_frequency)
         candidates.append((line, rs, mb))
@@ -58,7 +61,7 @@ def test_architectures(param, file_num: int, log=None) -> ReadStructure:
         )
 
     if len(candidates) > 1:
-        reader = SeqReader(path)
+        reader = SeqReader(path, sam_filter=param.filter)
         reads = reader.read_chunk(num_query)
         reader.close()
         numseq = len(reads)

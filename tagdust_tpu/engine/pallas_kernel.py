@@ -73,8 +73,15 @@ def make_fused_scorer(
     # instead of an H-iteration unrolled loop.
     tbin = (np.asarray(tmatrix) != 0.0)
     wide_cols = []
-    fast_label_dp = True
-    for j in range(H):
+    # the fast path additionally requires a strictly 0/1 tmatrix with a full
+    # diagonal: wide columns use raw dp values (valid only when the allowed
+    # entries are exactly 1) and every column assumes it is inside its own
+    # window.  init_model_bag guarantees both today; verify so a future
+    # non-binary matrix falls back instead of decoding wrong label paths.
+    fast_label_dp = bool(
+        np.isin(np.asarray(tmatrix), (0.0, 1.0)).all() and tbin.diagonal().all()
+    )
+    for j in (range(H) if fast_label_dp else ()):
         src = np.nonzero(tbin[:, j])[0]
         if src.size == 0 or src[-1] - src[0] + 1 != src.size:
             fast_label_dp = False

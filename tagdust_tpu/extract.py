@@ -106,7 +106,12 @@ def extract_read(
             t = rs.types[c2]
             if t == "F":
                 fingerlen += 1
-                key = (key << 2) | (int(read.seq[j + offset]) & 0x3)
+                # positions past the read's real length contribute 0 bits
+                # (the C code reads out of bounds there, barcode_hmm.c:3215 —
+                # undefined; this defined choice matches extract_batch)
+                jj = j + offset
+                b = int(read.seq[jj]) if jj < read.len else 0
+                key = (key << 2) | (b & 0x3)
             if t == "B":
                 hmm_has_barcode = 1
                 bar = c3
@@ -273,7 +278,13 @@ def extract_batch(
     key = [0] * B
     if required_finger_len and Ldec:
         fi, fj = np.nonzero(tF)
-        basebits = (seq[fi, np.minimum(fj + offset, Lfull - 1)] & 0x3).astype(int)
+        # F positions past the read's real length contribute 0 bits (same
+        # defined semantics as extract_read; the C code is out-of-bounds)
+        idx = fj + offset
+        in_bounds = idx < full_lens[fi]
+        basebits = np.where(
+            in_bounds, seq[fi, np.minimum(idx, Lfull - 1)] & 0x3, 0
+        ).astype(int)
         for n in range(fi.shape[0]):
             i = int(fi[n])
             key[i] = (key[i] << 2) | int(basebits[n])

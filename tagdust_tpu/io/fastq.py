@@ -78,11 +78,13 @@ def detect_format(path: str) -> dict:
     return d
 
 
-def _open_stream(path: str, fmt: dict) -> IO[bytes]:
+def _open_stream(path: str, fmt: dict, sam_filter: Optional[str] = None) -> IO[bytes]:
     if fmt["sam"] == 2:
-        # BAM needs samtools; mirror `samtools view -F 768` (io.c:470)
+        # BAM needs samtools; mirror `samtools view -F 768` — with `-filter`
+        # given, the user's value replaces 768 (io.c:469-562)
         proc = subprocess.Popen(
-            ["samtools", "view", "-F", "768", path], stdout=subprocess.PIPE
+            ["samtools", "view", "-F", sam_filter or "768", path],
+            stdout=subprocess.PIPE,
         )
         return proc.stdout  # type: ignore[return-value]
     if fmt["gzipped"]:
@@ -100,11 +102,20 @@ class SeqReader:
     line-state parser (asserted by tests).  Set env TAGDUST_TPU_FAST_IO=0
     (or fast=False) to force the pure-Python parser."""
 
-    def __init__(self, path: str, fast: Optional[bool] = None):
+    def __init__(
+        self,
+        path: str,
+        fast: Optional[bool] = None,
+        sam_filter: Optional[str] = None,
+    ):
         self.path = path
         self.fmt = detect_format(path)
-        self.stream = _open_stream(path, self.fmt)
+        self.stream = _open_stream(path, self.fmt, sam_filter)
         self.is_sam = self.fmt["sam"] in (1, 2)
+        # -filter replaces the default 768 exclusion mask the reference
+        # passes to `samtools view -F` (io.c:469-562); samtools parses the
+        # value with strtol base 0, hence int(v, 0)
+        self._sam_exclude = int(sam_filter, 0) if sam_filter else 768
         self.is_fasta = bool(self.fmt["fasta"])
         self._pending: Optional[bytes] = None
         if fast is None:
@@ -195,12 +206,13 @@ class SeqReader:
             if len(cols) < 11:
                 continue
             # reference pipes SAM through `samtools view -F 768` (io.c:485):
-            # drop secondary (0x100) and QC-fail (0x200) records
+            # drop secondary (0x100) and QC-fail (0x200) records, or the
+            # caller's -filter mask
             try:
                 flag = int(cols[1])
             except ValueError:
                 continue
-            if flag & 768:
+            if flag & self._sam_exclude:
                 continue
             r = Read(name=cols[0].decode("ascii", "replace"))
             r.mapq = float(cols[4])
@@ -208,7 +220,6 @@ class SeqReader:
             r.qual = cols[10].decode("ascii", "replace")
             out.append(r)
             if len(out) == num_query:
-                self._buffer_stop = True
                 return out
         return out
 

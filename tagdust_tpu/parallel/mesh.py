@@ -140,29 +140,40 @@ def _expected_lattice_counts(lat_dev, seqs, lens):
     bls_stack = jnp.concatenate([blstack[::-1][1:], ls0[None, :]], axis=0)
     logP = jnp.log(jnp.maximum(bfin[:, begin], 1e-38)) + bls_fin
 
+    def kahan_add(acc, comp, inc):
+        # compensated accumulation: float32 running sums would silently drop
+        # increments once acc > ~2^24 x increment (tens of millions of
+        # emitted bases — exactly the scale this distributed path targets)
+        y = inc - comp
+        t = acc + y
+        comp = (t - acc) - y
+        return t, comp
+
     def fwd_step(carry, x):
-        v, ls, CT, E = carry
+        v, ls, CT, CTc, E, Ec = carry
         oh, act, bw, bls = x
         W = expand(v, oh)  # [B, 5S]
         vn = W @ Afwd[:, :S]
         w = jnp.exp(ls + bls - logP) * act  # [B]
         # transition posterior: A[c][s,t] * v[s] * b[t] * w, batch-summed
         Y = jnp.einsum("bx,bt->xt", W * w[:, None], bw)  # [5S, S]
-        CT = CT + Y.reshape(5, S, S) * A3
+        CT, CTc = kahan_add(CT, CTc, Y.reshape(5, S, S) * A3)
         # emission posterior at the new position, scattered by base
         occ = vn * bw * w[:, None]  # [B, S]
-        E = E + jnp.einsum("bc,bs->cs", oh, occ)
+        E, Ec = kahan_add(E, Ec, jnp.einsum("bc,bs->cs", oh, occ))
         m = jnp.max(vn, axis=1, keepdims=True)
         m = jnp.where(m > 0, m, 1.0)
         v = jnp.where(act[:, None], vn / m, v)
         ls = jnp.where(act, ls + jnp.log(m[:, 0]), ls)
-        return (v, ls, CT, E), None
+        return (v, ls, CT, CTc, E, Ec), None
 
     v0 = jnp.zeros((B, S), jnp.float32).at[:, begin].set(1.0)
     CT0 = jnp.zeros((5, S, S), jnp.float32)
     E0 = jnp.zeros((5, S), jnp.float32)
     xs_f = (jnp.swapaxes(onehot, 0, 1), active.T, bwd_stack, bls_stack)
-    (_, _, CT, E), _ = jax.lax.scan(fwd_step, (v0, ls0, CT0, E0), xs_f)
+    (_, _, CT, _, E, _), _ = jax.lax.scan(
+        fwd_step, (v0, ls0, CT0, CT0, E0, E0), xs_f
+    )
     return CT, E, jnp.sum(lens)
 
 

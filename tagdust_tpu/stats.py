@@ -46,6 +46,7 @@ def get_sequence_stats(
     matchstart: int = -1,
     matchend: int = -1,
     messages=None,
+    sam_filter=None,
 ) -> SequenceStats:
     ssi = SequenceStats()
     counts = np.ones(5, dtype=np.float64)  # +1 pseudocounts (io.c:79-81)
@@ -65,7 +66,7 @@ def get_sequence_stats(
         ssi.expected_3_len = three_len
         three_test = NUC_CODE[np.frombuffer(rs.seqs[-1][0].encode(), np.uint8)]
 
-    reader = SeqReader(path)
+    reader = SeqReader(path, sam_filter=sam_filter)
     try:
         while True:
             chunk = reader.read_chunk(num_query)
@@ -85,11 +86,13 @@ def get_sequence_stats(
                     for j in range(five_len + 1):
                         m = five_len - j
                         if m > L:
-                            # C compares read positions c < five_len-j even
-                            # beyond the read end; seq[c] there is whatever
-                            # follows -- for parity we only allow full compare
-                            # within the read (reads shorter than linkers are
-                            # not exercised by the reference tests).
+                            # For reads shorter than the candidate suffix the
+                            # C code compares past the read end (io.c:146 reads
+                            # seq[c] for c >= len — out of bounds, undefined).
+                            # Deterministic defined choice: an out-of-bounds
+                            # compare is a mismatch, i.e. try the next shorter
+                            # suffix.  (Matches the C outcome whenever the
+                            # trailing heap bytes don't happen to match.)
                             continue
                         if m and np.array_equal(r.seq[:m], five_test[j:]):
                             if m > 3:
@@ -103,6 +106,9 @@ def get_sequence_stats(
                     for j in range(three_len + 1):
                         m = three_len - j
                         if m > L:
+                            # same as the 5' case: C indexes seq[len - m]
+                            # with m > len (negative offset, io.c:163) —
+                            # defined here as a mismatch
                             continue
                         if m and np.array_equal(r.seq[L - m :], three_test[:m]):
                             if m > 3:
