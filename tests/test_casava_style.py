@@ -55,9 +55,7 @@ def _make_inputs(cwd: str) -> None:
         fh.write("tagdust -1 R:N\n")
 
 
-def test_casava_style_three_file_demux(tmp_path):
-    cwd = str(tmp_path)
-    _make_inputs(cwd)
+def _run_ours(cwd: str) -> None:
     env = dict(os.environ)
     env["TAGDUST_TPU_RTEST"] = "1"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -82,8 +80,35 @@ def test_casava_style_three_file_demux(tmp_path):
         text=True,
     )
     assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_casava_style_three_file_demux(tmp_path):
+    cwd = str(tmp_path)
+    _make_inputs(cwd)
+    _run_ours(cwd)
     for name, md5 in EXPECTED.items():
         p = os.path.join(cwd, name)
         assert os.path.exists(p), f"missing output {name}"
         h = hashlib.md5(open(p, "rb").read()).hexdigest()
         assert h == md5, f"{name}: {h} != {md5}"
+
+
+def test_casava_style_live_vs_reference_build(tmp_path, ref_bins):
+    """Same scenario compared LIVE against a freshly compiled
+    tagdust_rtest (dev/casava_test.sh mechanism) — the frozen MD5s above
+    stay as the compiler-independent regression."""
+    cwd = str(tmp_path)
+    _make_inputs(cwd)
+    _run_ours(cwd)
+    res = subprocess.run(
+        [
+            ref_bins["tagdust_rtest"], "-seed", "42", "-arch", "cas_arch.txt",
+            "cas_r1.fq", "cas_r2.fq", "cas_r3.fq", "-o", "refout",
+        ],
+        cwd=cwd, capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    for name in EXPECTED:
+        ours = open(os.path.join(cwd, name), "rb").read()
+        ref = open(os.path.join(cwd, name.replace("out", "refout", 1)), "rb").read()
+        assert ours == ref, f"{name} differs from the reference build"

@@ -56,6 +56,37 @@ def test_merge_overlapping_pairs(tmp_path):
         assert lines[4 * i + 3] == "I" * 60
 
 
+def test_merge_live_vs_reference_build(tmp_path, ref_bins):
+    """Merged stream byte-compared against a freshly compiled reference
+    merge binary at -t 1 (deterministic output order; merge.c:330)."""
+    cwd = str(tmp_path)
+    rng = np.random.default_rng(11)
+    with open(os.path.join(cwd, "r1.fq"), "w") as f1, open(
+        os.path.join(cwd, "r2.fq"), "w"
+    ) as f2:
+        for i in range(200):
+            full = "".join("ACGT"[c] for c in rng.integers(0, 4, 70))
+            quals = "".join(chr(33 + int(q)) for q in rng.integers(10, 40, 70))
+            cut = int(rng.integers(30, 50))
+            r1, q1 = full[:cut], quals[:cut]
+            r2 = _revcomp(full[cut - 25 :])
+            q2 = quals[cut - 25 :][::-1]
+            # sprinkle mismatches so the consensus pick path is exercised
+            if i % 3 == 0:
+                r1 = r1[:10] + ("A" if r1[10] != "A" else "C") + r1[11:]
+            f1.write(f"@P{i};1\n{r1}\n+\n{q1}\n")
+            f2.write(f"@P{i};2\n{r2}\n+\n{q2}\n")
+    ours = _run(
+        "tagdust_tpu.cli.merge_tool", ["r1.fq", "r2.fq", "-Q", "0.85"], cwd
+    ).stdout
+    ref = subprocess.run(
+        [ref_bins["merge_ref"], "-t", "1", "r1.fq", "r2.fq", "-Q", "0.85"],
+        cwd=cwd, capture_output=True, text=True,
+    )
+    assert ref.returncode == 0, ref.stderr[-2000:]
+    assert ours == ref.stdout
+
+
 def test_merge_rejects_low_identity(tmp_path):
     cwd = str(tmp_path)
     a = "ACGT" * 15
