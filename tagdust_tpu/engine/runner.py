@@ -15,6 +15,7 @@ artifact filter's 4-wide batching has a per-slice remainder path
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -136,8 +137,11 @@ def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
         else:
             seqs[i, : r.len] = r.seq
         lens_arr[i] = lens[i]
+    # TAGDUST_TPU_PALLAS=0 forces the XLA scan flavor (same lattice, same
+    # decisions — used by CPU test rigs where interpret-mode Pallas is slow)
+    use_pallas = os.environ.get("TAGDUST_TPU_PALLAS", "1") == "1"
     try:
-        if Lpad <= 4096:
+        if Lpad <= 4096 and use_pallas:
             res = eng.run_batch_pallas(seqs, lens_arr, want_labels=want_labels)
         else:
             res = eng.run_batch(seqs, lens_arr)
