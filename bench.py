@@ -48,14 +48,16 @@ def main():
     import jax.numpy as jnp
 
     try:
-        fullfn, BT = eng._get_pallas(L)
+        fullfn, _, BT = eng._get_pallas(L)
         seqs_d = jnp.asarray(seqs.astype(np.uint8))
         lens_d = jnp.asarray(lens.astype(np.int32))
 
         def run():
             return fullfn(seqs_d, lens_d)
 
-    except Exception:
+    except Exception as e:
+        print(f"bench: Pallas path unavailable ({e!r}); "
+              "timing the XLA scan engine instead", file=sys.stderr)
         fn = eng._jit
         seqs_d = jnp.asarray(seqs.astype(np.int32))
         lens_d = jnp.asarray(lens.astype(np.int32))

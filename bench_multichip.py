@@ -1,0 +1,112 @@
+"""Scaling-efficiency bench: sharded scoring reads/s vs device count.
+
+Measures `parallel.mesh.ShardedScorer` (the production multi-chip path,
+wired into `engine.runner._score_reads_tpu`) on the flagship 20-barcode
+architecture at 1/2/4/8 devices and reports parallel efficiency relative
+to 1 device.
+
+On a real multi-chip TPU slice this measures ICI scaling of the fused
+Pallas pipeline.  On the CPU test rig it runs on the virtual
+8-host-device mesh with the XLA-scan flavor — virtual devices share the
+host's cores, so the absolute numbers measure the sharding machinery's
+overhead and the host's thread-level scaling, not ICI (stated in the
+output).  Usage:  python bench_multichip.py [--batch 16384] [--len 48]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--len", dest="length", type=int, default=48)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--force-cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.force_cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
+    import jax
+
+    if args.force_cpu:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    devices = jax.devices()
+    if len(devices) < 2:
+        # single real chip: fall back to the virtual CPU mesh so the
+        # machinery is still exercised; rerun on a pod for ICI numbers
+        print(
+            f"only {len(devices)} {devices[0].platform} device(s); "
+            "re-exec on the virtual 8-device CPU mesh",
+            file=sys.stderr,
+        )
+        os.execv(
+            sys.executable,
+            [sys.executable, os.path.abspath(__file__), "--force-cpu",
+             "--batch", str(args.batch), "--len", str(args.length),
+             "--reps", str(args.reps)],
+        )
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __graft_entry__ as g
+    from tagdust_tpu.parallel.mesh import ShardedScorer, make_mesh
+
+    platform = devices[0].platform
+    use_pallas = platform == "tpu"
+    eng = g._flagship_engine()
+    rng = np.random.default_rng(0)
+    B, L = args.batch, args.length
+    seqs = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    lens = np.full(B, L - 4, dtype=np.int32)
+
+    results = {}
+    counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
+    for n in counts:
+        scorer = ShardedScorer(
+            eng, make_mesh(devices[:n]), use_pallas=use_pallas
+        )
+        out = scorer.run(seqs, lens)  # warmup/compile
+        jax.block_until_ready(out[:5])
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = scorer.run(seqs, lens)
+            jax.block_until_ready(out[:5])
+        dt = (time.perf_counter() - t0) / args.reps
+        rps = B / dt
+        results[n] = rps
+        eff = rps / (results[1] * n)
+        print(
+            json.dumps(
+                {
+                    "devices": n,
+                    "platform": platform,
+                    "engine": "pallas" if use_pallas else "xla-scan",
+                    "reads_per_s": round(rps),
+                    "scaling_efficiency": round(eff, 3),
+                    "note": (
+                        "virtual host devices share CPU cores"
+                        if platform == "cpu"
+                        else "real chips"
+                    ),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

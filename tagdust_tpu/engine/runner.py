@@ -108,10 +108,72 @@ def score_reads(
                 reads[idx].labels = res.labels[bi]
 
 
+def _mesh_scorer(eng, use_pallas: bool, batch: int):
+    """Cached ShardedScorer over all local devices (production multi-chip
+    path — the TPU analogue of run_pHMM's thread fan-out, with psum-reduced
+    outcome counters).  Returns None on single-device rigs, when the batch
+    is too small to fill every chip's tile, or when disabled via
+    TAGDUST_TPU_MESH=0."""
+    import jax
+
+    if os.environ.get("TAGDUST_TPU_MESH", "1") == "0":
+        return None
+    n = len(jax.devices())
+    if n < 2 or batch < n * (256 if use_pallas else 1):
+        return None
+    cache = getattr(eng, "_mesh_scorers", None)
+    if cache is None:
+        cache = eng._mesh_scorers = {}
+    if use_pallas not in cache:
+        from ..parallel.mesh import ShardedScorer, make_mesh
+
+        cache[use_pallas] = ShardedScorer(
+            eng, make_mesh(), use_pallas=use_pallas
+        )
+    return cache[use_pallas]
+
+
+def _run_sharded(scorer, eng, seqs, lens_arr, want_labels):
+    """Score one padded batch over the device mesh; slices so the per-shard
+    backward stack stays inside the same HBM budget as the one-chip path."""
+    from .tpu import TpuBatchResult
+
+    B, Lp = seqs.shape
+    if scorer.use_pallas:
+        Sp = (eng.lat.S + 127) // 128 * 128
+        per_read = (Lp + 1) * (Sp + 128) * 4
+        gran = scorer.n * 256
+        max_b = max(gran, eng._PALLAS_STACK_BYTES * scorer.n // per_read
+                    // gran * gran)
+    else:
+        max_b = B
+    parts = [[] for _ in range(5)]
+    for s in range(0, B, max_b):
+        nb = min(max_b, B - s)
+        out = scorer.run(seqs[s : s + nb], lens_arr[s : s + nb])
+        for i in range(5):
+            if i == 3 and not want_labels:
+                continue  # skip the device->host label transfer
+            parts[i].append(np.asarray(out[i])[:nb])
+    cat = lambda p: p[0] if len(p) == 1 else np.concatenate(p)  # noqa: E731
+    return TpuBatchResult(
+        f_score=cat(parts[0]),
+        r_score=cat(parts[1]),
+        bar_prob=cat(parts[2]),
+        labels=cat(parts[3]) if want_labels else None,
+        mapq=cat(parts[4]),
+    )
+
+
 def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
     """TPU path: one padded rectangular batch per chunk (length bucketed to
     multiples of 32 for compile-cache reuse; batch padded to powers of two
-    up to 32k, then 32k granules, bounding the compile-cache shapes)."""
+    up to 32k, then 32k granules, bounding the compile-cache shapes).
+
+    With more than one visible device the batch is sharded data-parallel
+    over the full device mesh (`parallel/mesh.py`), running the same fused
+    Pallas pipeline per chip; decisions are device-count-invariant
+    (asserted by tests/test_multichip.py)."""
     eng = get_engine(mb, "tpu")
     lens = []
     for r in reads:
@@ -139,9 +201,12 @@ def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
         lens_arr[i] = lens[i]
     # TAGDUST_TPU_PALLAS=0 forces the XLA scan flavor (same lattice, same
     # decisions — used by CPU test rigs where interpret-mode Pallas is slow)
-    use_pallas = os.environ.get("TAGDUST_TPU_PALLAS", "1") == "1"
+    use_pallas = os.environ.get("TAGDUST_TPU_PALLAS", "1") == "1" and Lpad <= 4096
+    scorer = _mesh_scorer(eng, use_pallas, B)
     try:
-        if Lpad <= 4096 and use_pallas:
+        if scorer is not None:
+            res = _run_sharded(scorer, eng, seqs, lens_arr, want_labels)
+        elif use_pallas:
             res = eng.run_batch_pallas(seqs, lens_arr, want_labels=want_labels)
         else:
             res = eng.run_batch(seqs, lens_arr)
@@ -149,8 +214,8 @@ def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
         fallback(
             "pallas-scorer",
             e,
-            "fused Pallas pipeline failed; scoring on the XLA scan engine "
-            "(~17x slower)",
+            "device scoring pipeline failed; scoring on the single-device "
+            "XLA scan engine (~17x slower)",
         )
         res = eng.run_batch(seqs, lens_arr)
     for i, r in enumerate(reads):

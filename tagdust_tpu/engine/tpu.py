@@ -313,7 +313,9 @@ class TpuEngine:
                     jnp.clip(mapq, 0.0, 40.0),
                 )
 
-            self._pallas_cache[key] = (jax.jit(full), BT)
+            # cache the raw fn too: parallel/mesh.py wraps it per-shard
+            # under shard_map (the jit there happens around the shard_map)
+            self._pallas_cache[key] = (jax.jit(full), full, BT)
         return self._pallas_cache[key]
 
     # HBM budget for the backward stack ((Lp+1) * B * (Sp+128) * 4 bytes):
@@ -329,7 +331,7 @@ class TpuEngine:
         of the result bytes) — used by calibration/arch-detection, which only
         consume scores."""
         B, Lp = seqs.shape
-        fullfn, BT = self._get_pallas(Lp)
+        fullfn, _, BT = self._get_pallas(Lp)
         Sp = (self.lat.S + 127) // 128 * 128
         max_b = self._PALLAS_STACK_BYTES // ((Lp + 1) * (Sp + 128) * 4)
         max_b = max(BT, max_b // BT * BT)

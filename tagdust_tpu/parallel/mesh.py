@@ -40,34 +40,70 @@ def make_mesh(devices=None) -> Mesh:
 class ShardedScorer:
     """Data-parallel scorer: same per-chip program as `TpuEngine`, plus a
     psum-reduced outcome histogram (the distributed analogue of
-    ``log_information`` counting, barcode_hmm.c:354-385)."""
+    ``log_information`` counting, barcode_hmm.c:354-385).
 
-    def __init__(self, engine: TpuEngine, mesh: Optional[Mesh] = None):
+    ``use_pallas=True`` runs the **fused Pallas pipeline** on every shard —
+    the exact per-chip program production uses on one chip, sharded on the
+    batch axis; ``False`` runs the XLA matmul-scan flavor of the same
+    lattice (used on CPU rigs where interpret-mode Pallas is slow).  Both
+    produce identical decisions (asserted by tests); the production runner
+    picks exactly as it does for one device (``TAGDUST_TPU_PALLAS``)."""
+
+    def __init__(
+        self,
+        engine: TpuEngine,
+        mesh: Optional[Mesh] = None,
+        use_pallas: bool = False,
+        batch_tile: Optional[int] = None,
+    ):
         self.engine = engine
         self.mesh = mesh or make_mesh()
-        lat_dev = engine._dev
+        self.n = int(self.mesh.devices.size)
+        self.use_pallas = use_pallas
+        self.batch_tile = batch_tile
+        self._cache: dict = {}
 
-        def per_shard(seqs, lens, threshold):
-            f_log, r_log, bar_log, labels, mapq = _forward_backward(
-                lat_dev, seqs, lens
-            )
-            # outcome accounting reduced across chips (psum == the
-            # reference's join-then-reduce, barcode_hmm.c:1987-1992)
-            accept = mapq >= threshold
-            counts = jnp.stack(
-                [
-                    jnp.sum(accept.astype(jnp.int32)),
-                    jnp.sum((~accept).astype(jnp.int32)),
-                ]
-            )
-            counts = jax.lax.psum(counts, "reads")
-            return f_log, r_log, bar_log, labels, mapq, counts
+    def _outcome_counts(self, mapq, valid, threshold):
+        # outcome accounting reduced across chips (psum == the reference's
+        # join-then-reduce, barcode_hmm.c:1987-1992); padded reads masked out
+        accept = (mapq >= threshold) & valid
+        reject = (mapq < threshold) & valid
+        counts = jnp.stack(
+            [
+                jnp.sum(accept.astype(jnp.int32)),
+                jnp.sum(reject.astype(jnp.int32)),
+            ]
+        )
+        return jax.lax.psum(counts, "reads")
 
-        self._fn = jax.jit(
+    def _get_fn(self, Lp: int):
+        key = (Lp, self.use_pallas)
+        if key in self._cache:
+            return self._cache[key]
+        if self.use_pallas:
+            _, full, tile = self.engine._get_pallas(Lp, self.batch_tile or 256)
+
+            def per_shard(seqs, lens, valid, threshold):
+                f_log, r_log, bar_log, labels, mapq = full(seqs, lens)
+                counts = self._outcome_counts(mapq, valid, threshold)
+                return f_log, r_log, bar_log, labels, mapq, counts
+
+        else:
+            tile = 1
+            lat_dev = self.engine._dev
+
+            def per_shard(seqs, lens, valid, threshold):
+                f_log, r_log, bar_log, labels, mapq = _forward_backward(
+                    lat_dev, seqs.astype(jnp.int32), lens
+                )
+                counts = self._outcome_counts(mapq, valid, threshold)
+                return f_log, r_log, bar_log, labels, mapq, counts
+
+        fn = jax.jit(
             shard_map(
                 per_shard,
                 mesh=self.mesh,
-                in_specs=(P("reads", None), P("reads"), P()),
+                in_specs=(P("reads", None), P("reads"), P("reads"), P()),
                 out_specs=(
                     P("reads"),
                     P("reads"),
@@ -79,21 +115,31 @@ class ShardedScorer:
                 check_vma=False,
             )
         )
+        self._cache[key] = (fn, tile)
+        return fn, tile
 
     def run(self, seqs: np.ndarray, lens: np.ndarray, threshold: float = 0.0):
-        n = self.mesh.devices.size
+        """Returns (f_log, r_log, bar_log, labels, mapq, counts); the first
+        five are defined for the first ``len(seqs)`` rows (padding rows may
+        follow), counts covers only the real reads."""
+        fn, tile = self._get_fn(seqs.shape[1])
         B = seqs.shape[0]
-        pad = (-B) % n
+        gran = self.n * tile
+        pad = (-B) % gran
         if pad:
             seqs = np.concatenate([seqs, np.zeros((pad, seqs.shape[1]), seqs.dtype)])
             lens = np.concatenate([lens, np.ones(pad, lens.dtype)])
-        sharding = NamedSharding(self.mesh, P("reads", None))
-        seqs_d = jax.device_put(jnp.asarray(seqs.astype(np.int32)), sharding)
-        lens_d = jax.device_put(
-            jnp.asarray(lens.astype(np.int32)), NamedSharding(self.mesh, P("reads"))
+        valid = np.zeros(seqs.shape[0], dtype=bool)
+        valid[:B] = True
+        dtype = np.uint8 if self.use_pallas else np.int32
+        seqs_d = jax.device_put(
+            jnp.asarray(seqs.astype(dtype)),
+            NamedSharding(self.mesh, P("reads", None)),
         )
-        out = self._fn(seqs_d, lens_d, jnp.float32(threshold))
-        return out
+        row = NamedSharding(self.mesh, P("reads"))
+        lens_d = jax.device_put(jnp.asarray(lens.astype(np.int32)), row)
+        valid_d = jax.device_put(jnp.asarray(valid), row)
+        return fn(seqs_d, lens_d, valid_d, jnp.float32(threshold))
 
 
 def _expected_lattice_counts(lat_dev, seqs, lens):

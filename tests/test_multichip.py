@@ -1,0 +1,174 @@
+"""Multi-chip production path (VERDICT round 1, item 1).
+
+The fused Pallas pipeline — the exact per-chip program production uses —
+runs data-parallel over the device mesh via `parallel.mesh.ShardedScorer`,
+and the production runner (`engine.runner._score_reads_tpu`) engages the
+mesh automatically whenever more than one device is visible and the batch
+fills every chip's tile.  These tests assert, on the virtual 8-device CPU
+mesh:
+
+* sharded scoring is bit-identical to single-device scoring (scan flavor);
+* the sharded Pallas pipeline decides identically to the sharded scan;
+* the runner's automatic mesh path returns the same results as the forced
+  single-device path;
+* the full CLI (`tagdust -engine tpu`) produces byte-identical output files
+  under 1 and 8 devices — the TPU analogue of the reference's thread-count
+  invariance fixture (dev/test_data/thread_arch.txt).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from test_gold_regression import EDITTAG, run_tool
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+requires_dev = pytest.mark.skipif(
+    not os.path.exists(EDITTAG), reason="reference dev fixtures unavailable"
+)
+
+
+def _flagship_engine():
+    import __graft_entry__ as g
+
+    return g._flagship_engine()
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return _flagship_engine()
+
+
+def _random_batch(B=64, L=32, Lreal=28):
+    rng = np.random.default_rng(7)
+    seqs = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    lens = np.full(B, Lreal, dtype=np.int32)
+    lens[:: 5] = Lreal - 7  # ragged
+    return seqs, lens
+
+
+def test_sharded_scan_matches_single_device(engine):
+    from tagdust_tpu.parallel.mesh import ShardedScorer, make_mesh
+
+    seqs, lens = _random_batch()
+    B = seqs.shape[0]
+    single = engine.run_batch(seqs, lens)
+    scorer = ShardedScorer(engine, make_mesh(jax.devices()[:8]), use_pallas=False)
+    out = scorer.run(seqs, lens, threshold=1.0)
+    np.testing.assert_array_equal(np.asarray(out[3])[:B], single.labels)
+    np.testing.assert_allclose(np.asarray(out[4])[:B], single.mapq, rtol=0, atol=0)
+    # raw scores may differ in the last float bits (XLA reassociates
+    # differently across batch shapes); decisions (labels, Q) must not
+    np.testing.assert_allclose(np.asarray(out[0])[:B], single.f_score, rtol=1e-5)
+    counts = np.asarray(out[5])
+    assert counts.sum() == B  # padded rows masked out of the psum counters
+
+
+def test_sharded_pallas_matches_sharded_scan(engine):
+    from tagdust_tpu.parallel.mesh import ShardedScorer, make_mesh
+
+    seqs, lens = _random_batch(B=32)
+    B, L = seqs.shape
+    mesh = make_mesh(jax.devices()[:8])
+    sp = ShardedScorer(engine, mesh, use_pallas=True, batch_tile=8)
+    ss = ShardedScorer(engine, mesh, use_pallas=False)
+    op = sp.run(seqs, lens)
+    os_ = ss.run(seqs, lens)
+    lab_p = np.asarray(op[3])[:B, 1:].astype(np.int32)
+    lab_s = np.asarray(os_[3])[:B, 1:].astype(np.int32)
+    # compare within each read's real span (slot 0 is the pre-read slot)
+    for i in range(B):
+        n = int(lens[i])
+        assert (lab_p[i, :n] == lab_s[i, :n]).all(), f"read {i}"
+    np.testing.assert_allclose(
+        np.asarray(op[4])[:B], np.asarray(os_[4])[:B], atol=1e-2
+    )
+
+
+def test_runner_engages_mesh(engine, monkeypatch):
+    """_score_reads_tpu must produce identical results with the mesh on
+    (8 devices) and off (TAGDUST_TPU_MESH=0)."""
+    from tagdust_tpu.engine.runner import _score_reads_tpu
+    from tagdust_tpu.io.fastq import Read
+
+    monkeypatch.setenv("TAGDUST_TPU_PALLAS", "0")
+    rng = np.random.default_rng(3)
+
+    def mk_reads():
+        return [
+            Read(seq=rng.integers(0, 4, rng.integers(20, 33)).astype(np.uint8))
+            for _ in range(50)
+        ]
+
+    rng = np.random.default_rng(3)
+    reads_mesh = mk_reads()
+    rng = np.random.default_rng(3)
+    reads_single = mk_reads()
+
+    mb = engine.mb
+    monkeypatch.setenv("TAGDUST_TPU_MESH", "1")
+    # drop the engine cache so both runs build from mb identically
+    from tagdust_tpu.engine import runner as R
+
+    R._ENGINE_CACHE[(id(mb), "tpu")] = engine
+    _score_reads_tpu(mb, reads_mesh, -1, -1)
+    assert getattr(engine, "_mesh_scorers", None), "mesh path not engaged"
+    monkeypatch.setenv("TAGDUST_TPU_MESH", "0")
+    _score_reads_tpu(mb, reads_single, -1, -1)
+
+    for a, b in zip(reads_mesh, reads_single):
+        # scores agree to float32 vectorization noise (XLA reassociates
+        # differently across per-shard shapes); label decisions exactly
+        assert abs(a.mapq - b.mapq) < 1e-4, (a.mapq, b.mapq)
+        np.testing.assert_array_equal(a.labels, b.labels)
+        for thr in (0.5, 1.0, 2.0, 4.0, 8.0):
+            assert (a.mapq >= thr) == (b.mapq >= thr)
+
+
+@requires_dev
+def test_cli_device_count_invariance(tmp_path):
+    """tagdust -engine tpu: byte-identical demultiplexed outputs on 1 vs 8
+    devices (scan flavor on the CPU rig; the per-chip program is identical,
+    so invariance exercises the sharding/padding/merge machinery)."""
+    cwd = str(tmp_path)
+    run_tool(
+        "simreads",
+        [EDITTAG, "-seed", "42", "-sim_barnum", "4", "-sim_readlen", "20",
+         "-sim_readlen_mod", "0", "-sim_numseq", "3000", "-sim_endloss", "0",
+         "-sim_random_frac", "0.1", "-o", "dc.fq"],
+        cwd,
+    )
+    outs = {}
+    for n in (1, 8):
+        env = dict(os.environ)
+        env.update(
+            TAGDUST_TPU_RTEST="1",
+            TAGDUST_TPU_PALLAS="0",
+            TAGDUST_TPU_STRICT="1",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
+            PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+        res = subprocess.run(
+            [sys.executable, "-m", "tagdust_tpu.cli.tagdust", "-seed", "42",
+             "dc.fq", "-arch", "dc.fq_tagdust_arch.txt", "-engine", "tpu",
+             "-o", f"dev{n}"],
+            cwd=cwd, env=env, capture_output=True, text=True,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        files = {}
+        for f in sorted(os.listdir(cwd)):
+            if f.startswith(f"dev{n}_") and f.endswith(".fq"):
+                with open(os.path.join(cwd, f), "rb") as fh:
+                    files[f[len(f"dev{n}"):]] = fh.read()
+        outs[n] = files
+    assert outs[1].keys() == outs[8].keys()
+    for k in outs[1]:
+        assert outs[1][k] == outs[8][k], f"{k} differs between 1 and 8 devices"
