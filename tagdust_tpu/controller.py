@@ -13,7 +13,9 @@ and the end-of-run outcome accounting / human-readable summary
 
 from __future__ import annotations
 
+import queue
 import sys
+import threading
 import time
 from typing import List, Optional
 
@@ -170,9 +172,67 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             writer_rs = read_structures[i]
             break
 
+    # ------------------------------------------------------------------
+    # Pipelined streaming loop (the TPU-native analogue of the reference's
+    # popen decompression overlap, io.c:459-606, widened to the whole IO
+    # path): a reader thread prefetches the next chunk while the current
+    # one is scored/extracted, and a writer thread drains finished chunks.
+    # Order is preserved (single FIFO per stage); consistency checks,
+    # scoring, extraction and counter accounting stay on the main thread.
+    # ------------------------------------------------------------------
+    chunk_q: queue.Queue = queue.Queue(maxsize=1)
+    write_q: queue.Queue = queue.Queue(maxsize=1)
+    stop = threading.Event()
+    writer_err: List[BaseException] = []
+
+    def _reader_loop() -> None:
+        try:
+            while not stop.is_set():
+                chunks = [
+                    readers[i].read_chunk(param.num_query) for i in range(nfiles)
+                ]
+                chunk_q.put(chunks)
+                if sum(len(c) for c in chunks) == 0:
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
+            chunk_q.put(e)
+
+    def _writer_loop() -> None:
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            try:
+                writer.write_batch(*item)
+            except BaseException as e:  # noqa: BLE001
+                writer_err.append(e)
+                return
+
+    reader_thread = threading.Thread(
+        target=_reader_loop, name="tagdust-reader", daemon=True
+    )
+    reader_thread.start()
+    writer_thread: Optional[threading.Thread] = None
+
+    def _shutdown_pipeline() -> None:
+        stop.set()
+        while True:  # unblock the reader if it is waiting on a full queue
+            try:
+                chunk_q.get_nowait()
+            except queue.Empty:
+                break
+        reader_thread.join(timeout=10)
+        if writer_thread is not None:
+            write_q.put(None)
+            writer_thread.join(timeout=60)
+
     first_batch = True
     while True:
-        chunks = [readers[i].read_chunk(param.num_query) for i in range(nfiles)]
+        item = chunk_q.get()
+        if isinstance(item, BaseException):
+            _shutdown_pipeline()
+            raise item
+        chunks = item
         if sum(len(c) for c in chunks) == 0:
             break
         numseqs = [len(c) for c in chunks]
@@ -184,6 +244,7 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
                         "differ in number of entries.\n"
                     )
                     log.flush(param.outfile)
+                    _shutdown_pipeline()
                     raise SystemExit(1)
         if first_batch:
             checker = compare_read_names
@@ -196,6 +257,7 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
                                 f"order:\n{chunks[i][c].name}\n{chunks[j][c].name}\n"
                             )
                             log.flush(param.outfile)
+                            _shutdown_pipeline()
                             raise SystemExit(1)
 
         # model realloc on longer reads only grows DP scratch (the compiled
@@ -230,7 +292,16 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             writer = DemuxWriter(
                 param.outfile, writer_rs, read_present, param.print_seq_finger
             )
-        writer.write_batch(chunks, numseqs[0])
+            writer_thread = threading.Thread(
+                target=_writer_loop, name="tagdust-writer", daemon=True
+            )
+            writer_thread.start()
+        if writer_err:
+            _shutdown_pipeline()
+            raise writer_err[0]
+        # hand the finished chunk to the writer thread; the counter pass
+        # below only READS read_type, and nothing mutates reads after this
+        write_q.put((chunks, numseqs[0]))
         first_batch = False
 
         counters["total"] += numseqs[0]
@@ -255,6 +326,12 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
                 if mer_hash:
                     mer_hash[(rt >> 8) - 1] += 1
 
+    if writer_thread is not None:
+        write_q.put(None)
+        writer_thread.join()
+        if writer_err:
+            raise writer_err[0]
+    reader_thread.join(timeout=10)
     if writer is not None:
         writer.close()
     for r in readers:

@@ -21,7 +21,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..constants import EXTRACT_SUCCESS
-from ..extract import compute_q, extract_batch, extract_read
+from ..extract import compute_q, extract_batch
 from ..filters import dust_reads, match_to_reference
 from ..io.fastq import Read
 from ..model import ModelBag
@@ -239,36 +239,37 @@ def run_get_label(
         mb, reads, param.matchstart, param.matchend, want_labels=True,
         engine_kind=kind,
     )
-    if labels_mat is not None:
-        # batched engines return the [B, Lpad+1] label matrix: extraction is
-        # a vectorised pass instead of a per-base Python walk per read.
-        # Moderate slices keep the numpy temporaries in reused (warm) malloc
-        # blocks — first-touch page faults on fresh huge buffers are
-        # expensive on some hosts.
-        SL = 16384
-        for s in range(0, len(reads), SL):
-            extract_batch(
-                mb,
-                rs,
-                reads[s : s + SL],
-                labels_mat[s : s + SL],
-                param.minlen,
-                confidence_threshold,
-                param.matchstart,
-                param.matchend,
+    # extraction is a vectorised pass over the [B, Lpad+1] label matrix
+    # instead of a per-base Python walk per read (both engines; equality
+    # with the per-read extract_read path is asserted by tests).  Moderate
+    # slices keep the numpy temporaries in reused (warm) malloc blocks —
+    # first-touch page faults on fresh huge buffers are expensive on some
+    # hosts.
+    SL = 16384
+    for s in range(0, len(reads), SL):
+        grp = reads[s : s + SL]
+        if labels_mat is not None:
+            mat = labels_mat[s : s + SL]
+        else:
+            # exact engine: per-read label arrays -> one padded matrix
+            wid = max(
+                (r.labels.shape[0] if r.labels is not None else 1)
+                for r in grp
             )
-    else:
-        for r in reads:
-            extract_read(
-                mb,
-                rs,
-                r,
-                r.labels,
-                param.minlen,
-                confidence_threshold,
-                param.matchstart,
-                param.matchend,
-            )
+            mat = np.zeros((len(grp), wid), dtype=np.int32)
+            for i, r in enumerate(grp):
+                if r.labels is not None:
+                    mat[i, : r.labels.shape[0]] = r.labels
+        extract_batch(
+            mb,
+            rs,
+            grp,
+            mat,
+            param.minlen,
+            confidence_threshold,
+            param.matchstart,
+            param.matchend,
+        )
     _apply_filters(reads, param, contaminants)
 
 

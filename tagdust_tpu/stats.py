@@ -72,52 +72,65 @@ def get_sequence_stats(
             chunk = reader.read_chunk(num_query)
             if not chunk:
                 break
-            for r in chunk:
-                L = r.len
-                if L > ssi.max_seq_len:
-                    ssi.max_seq_len = L
-                sum_len += L
-                np.add.at(counts, r.seq[r.seq < 5], 1.0)
-                counts[4] += int(np.sum(r.seq == 5))  # '.' counts as slot 5 ->
-                # NOTE: reference indexes background[seq[j]] directly; codes are
-                # 0-4 for fastq input ('.' never appears in practice).
+            # one vectorised pass per chunk (accumulators are integer-valued
+            # float64 sums, so chunking/vectorisation changes nothing)
+            B = len(chunk)
+            lens = np.fromiter((r.len for r in chunk), dtype=np.int64, count=B)
+            mx = int(lens.max(initial=0))
+            if mx > ssi.max_seq_len:
+                ssi.max_seq_len = mx
+            sum_len += float(lens.sum())
+            allseq = (
+                np.concatenate([r.seq for r in chunk]) if B else
+                np.zeros(0, np.uint8)
+            )
+            bc = np.bincount(allseq, minlength=6)
+            counts[:5] += bc[:5]
+            counts[4] += bc[5]  # '.' counts as slot 5 ->
+            # NOTE: reference indexes background[seq[j]] directly; codes are
+            # 0-4 for fastq input ('.' never appears in practice).
+            if five_len or three_len:
+                # padded prefix/suffix matrices; 255 pads guarantee that any
+                # overlap longer than the read mismatches — the defined
+                # stand-in for the C code's out-of-bounds compares at
+                # io.c:146/io.c:163 (see docstring note)
+                pref = np.full((B, max(five_len, 1)), 255, dtype=np.uint8)
+                suf = np.full((B, max(three_len, 1)), 255, dtype=np.uint8)
+                for i, r in enumerate(chunk):
+                    L = r.len
+                    if five_len:
+                        w = min(L, five_len)
+                        pref[i, :w] = r.seq[:w]
+                    if three_len:
+                        w = min(L, three_len)
+                        if w:
+                            suf[i, three_len - w :] = r.seq[L - w :]
                 if five_len:
-                    # longest linker-suffix matching the read start (io.c:141-156)
-                    for j in range(five_len + 1):
+                    # longest linker-suffix matching the read start
+                    # (io.c:141-156); first (longest) match wins per read
+                    rem = np.ones(B, dtype=bool)
+                    for j in range(five_len):
                         m = five_len - j
-                        if m > L:
-                            # For reads shorter than the candidate suffix the
-                            # C code compares past the read end (io.c:146 reads
-                            # seq[c] for c >= len — out of bounds, undefined).
-                            # Deterministic defined choice: an out-of-bounds
-                            # compare is a mismatch, i.e. try the next shorter
-                            # suffix.  (Matches the C outcome whenever the
-                            # trailing heap bytes don't happen to match.)
-                            continue
-                        if m and np.array_equal(r.seq[:m], five_test[j:]):
-                            if m > 3:
-                                f_s0 += 1
-                                f_s1 += m
-                                f_s2 += m * m
-                            break
-                        if m == 0:
-                            break
+                        hit = rem & (pref[:, :m] == five_test[j:]).all(axis=1)
+                        if m > 3:
+                            n = int(hit.sum())
+                            f_s0 += n
+                            f_s1 += n * m
+                            f_s2 += n * m * m
+                        rem &= ~hit
                 if three_len:
-                    for j in range(three_len + 1):
+                    rem = np.ones(B, dtype=bool)
+                    for j in range(three_len):
                         m = three_len - j
-                        if m > L:
-                            # same as the 5' case: C indexes seq[len - m]
-                            # with m > len (negative offset, io.c:163) —
-                            # defined here as a mismatch
-                            continue
-                        if m and np.array_equal(r.seq[L - m :], three_test[:m]):
-                            if m > 3:
-                                t_s0 += 1
-                                t_s1 += m
-                                t_s2 += m * m
-                            break
-                        if m == 0:
-                            break
+                        hit = rem & (
+                            suf[:, three_len - m :] == three_test[:m]
+                        ).all(axis=1)
+                        if m > 3:
+                            n = int(hit.sum())
+                            t_s0 += n
+                            t_s1 += n * m
+                            t_s2 += n * m * m
+                        rem &= ~hit
             total_read += len(chunk)
             if total_read > 1000000:
                 break
