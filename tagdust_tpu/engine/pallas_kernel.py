@@ -45,6 +45,7 @@ def make_fused_scorer(
     interpret: bool = False,
     tmatrix: np.ndarray = None,  # [H, H] 0/1 label-compatibility
     force_slow_label_dp: bool = False,  # testing hook for the fallback path
+    grouped: dict = None,  # lattice.grouped_step_decomposition result
 ):
     """Returns fn(seqs [B, Lp] i32, lens [B] i32) ->
     (f_log [B], logP_b [B], labels [B, Lp+1] i32, tp [B, K]).
@@ -59,6 +60,27 @@ def make_fused_scorer(
     Sp = _round_up(S, 128)
     Kp = _round_up(max(K, 1), 128)
     Hp = _round_up(Lmap.shape[1], 128)
+
+    # ---- grouped (block-banded) step layout ----
+    # With a grouped decomposition, states are re-laid-out span-by-span
+    # into 128-lane groups; the dense [Sp, Sp] step matmuls become G
+    # [128, 128] block matmuls plus thin entry matmuls through the silent
+    # exits (lattice.grouped_step_decomposition).  All state-indexed
+    # tensors below are built through `gpos`, identity in dense mode.
+    G = 0
+    if grouped is not None:
+        spans = grouped["spans"]
+        G = len(spans)
+        if grouped["Uexit"].shape[1] > 128:
+            grouped = None  # >128 segments: dense fallback
+            G = 0
+    if grouped is not None:
+        Sp = 128 * G
+        gpos = np.full(S, -1, dtype=np.int64)
+        for g, (s0, s1) in enumerate(spans):
+            gpos[s0:s1] = g * 128 + np.arange(s1 - s0)
+    else:
+        gpos = np.arange(S, dtype=np.int64)
     tmp_ = np.zeros((Hp, Hp), dtype=np.float32)
     tmp_[:H, :H] = tmatrix
     tmatp = tmp_
@@ -95,22 +117,58 @@ def make_fused_scorer(
     if len(wide_cols) > 8 or force_slow_label_dp:
         fast_label_dp = False
 
-    Afwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
-    Abwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
-    for c in range(5):
-        Afwd[c * Sp : c * Sp + S, :S] = A[c]
-        Abwd[c * Sp : c * Sp + S, :S] = A[c].T
+    if grouped is None:
+        Afwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
+        Abwd = np.zeros((5 * Sp, Sp), dtype=np.float32)
+        for c in range(5):
+            Afwd[c * Sp : c * Sp + S, :S] = A[c]
+            Abwd[c * Sp : c * Sp + S, :S] = A[c].T
+        # dummy rows: the step helpers ignore them in dense mode
+        wvec = np.zeros((8, 128), dtype=np.float32)
+        msegF = np.zeros((8, 128), dtype=np.float32)
+        msegB = np.zeros((8, 128), dtype=np.float32)
+        uexitF = np.zeros((8, 128), dtype=np.float32)
+        uexitB = np.zeros((8, 128), dtype=np.float32)
+    else:
+        D = grouped["D"]
+        Uexit = grouped["Uexit"]
+        Went = grouped["Went"]
+        nm = Uexit.shape[1]
+        # per-group block matmul tiles (fwd) and their transposes (bwd)
+        Afwd = np.zeros((5 * Sp, 128), dtype=np.float32)
+        Abwd = np.zeros((5 * Sp, 128), dtype=np.float32)
+        for c in range(5):
+            for g, (s0, s1) in enumerate(spans):
+                w = s1 - s0
+                r = (c * G + g) * 128
+                Afwd[r : r + w, :w] = D[c, s0:s1, s0:s1]
+                Abwd[r : r + w, :w] = D[c, s0:s1, s0:s1].T
+        # silent-exit projection [Sp, nm<=128]; each state belongs to
+        # exactly ONE segment, so the per-base entry weights collapse to a
+        # per-state vector (wvec, applied on the VPU by base select) plus a
+        # base-independent 0/1 segment-indicator matmul (mseg)
+        uexitF = np.zeros((Sp, 128), dtype=np.float32)
+        uexitF[gpos, :nm] = Uexit
+        uexitB = uexitF.T.copy()  # [128, Sp]
+        wvec = np.zeros((8, Sp), dtype=np.float32)
+        msegB = np.zeros((Sp, 128), dtype=np.float32)  # [state, segment]
+        seg_of_state = Went.any(axis=0).argmax(axis=0)  # [S] segment index
+        for c in range(5):
+            wvec[c, gpos] = Went[c, seg_of_state, np.arange(Went.shape[2])]
+        msegB[gpos, seg_of_state] = 1.0
+        msegF = msegB.T.copy()  # [segment, state]
     endp = np.zeros((Sp, 128), dtype=np.float32)
-    endp[:S, 0] = end
+    endp[gpos, 0] = end
     lmapp = np.zeros((Sp, Hp), dtype=np.float32)
-    lmapp[:S, : Lmap.shape[1]] = Lmap
+    lmapp[gpos, : Lmap.shape[1]] = Lmap
     entp = np.zeros((Sp, Kp), dtype=np.float32)
     uentp = np.zeros((Sp, Kp), dtype=np.float32)
     eentp = np.zeros((8, Kp), dtype=np.float32)
     if K:
-        entp[:S, :K] = ent_sel
-        uentp[:S, :K] = Uent
+        entp[gpos, :K] = ent_sel
+        uentp[gpos, :K] = Uent
         eentp[:5, :K] = Eent
+    begin = int(gpos[begin])
 
     def _select_matmul(v, base_col, mat_ref, ncols):
         acc = jnp.zeros((BT, ncols), jnp.float32)
@@ -123,11 +181,64 @@ def make_fused_scorer(
             )
         return acc
 
+    def _wsel(base_col, wvec_ref):
+        """Per-read entry-weight vector: wvec row selected by base (VPU)."""
+        wv = jnp.zeros((BT, Sp), jnp.float32)
+        for c in range(5):
+            wv = jnp.where(
+                base_col == c,
+                jnp.broadcast_to(wvec_ref[c : c + 1, :], (BT, Sp)),
+                wv,
+            )
+        return wv
+
+    def _blockdots(x, base_col, mat_ref):
+        """Per-group [128, 128] block matmuls, base-masked."""
+        parts = []
+        for g in range(G):
+            accg = jnp.zeros((BT, 128), jnp.float32)
+            xg = x[:, g * 128 : (g + 1) * 128]
+            for c in range(5):
+                xc = jnp.where(base_col == c, xg, 0.0)
+                r = (c * G + g) * 128
+                accg = accg + jnp.dot(
+                    xc, mat_ref[r : r + 128, :],
+                    preferred_element_type=jnp.float32,
+                )
+            parts.append(accg)
+        return jnp.concatenate(parts, axis=1)
+
+    def _step_fwd(v, base_col, mat_ref, wvec_ref, mseg_ref, uexit_ref):
+        """vn = select_base(v) @ A.  Dense: 5 masked [Sp, Sp] matmuls.
+        Grouped: per-group [128, 128] block matmuls + entry flows through
+        the silent exits: ((v @ Uexit) @ Mseg^T) * wvec[base]."""
+        if grouped is None:
+            return _select_matmul(v, base_col, mat_ref, Sp)
+        acc = _blockdots(v, base_col, mat_ref)
+        sexit = jnp.dot(v, uexit_ref[:, :], preferred_element_type=jnp.float32)
+        sseg = jnp.dot(sexit, mseg_ref[:, :], preferred_element_type=jnp.float32)
+        return acc + sseg * _wsel(base_col, wvec_ref)
+
+    def _step_bwd(b, base_col, mat_ref, wvec_ref, mseg_ref, uexit_ref):
+        """bn = select_base(b) @ A^T, same decomposition transposed:
+        bn += Uexit @ Mseg @ (wvec[base] * b)."""
+        if grouped is None:
+            return _select_matmul(b, base_col, mat_ref, Sp)
+        acc = _blockdots(b, base_col, mat_ref)
+        q = b * _wsel(base_col, wvec_ref)
+        sent = jnp.dot(q, mseg_ref[:, :], preferred_element_type=jnp.float32)
+        return acc + jnp.dot(
+            sent, uexit_ref[:, :], preferred_element_type=jnp.float32
+        )
+
     # ---------------- backward kernel ----------------
     def bwd_kernel(
         seq_ref,  # [BT, Lp] i32
         lens_ref,  # [BT, 128] i32
-        abwd_ref,  # [5Sp, Sp]
+        abwd_ref,  # [5Sp, Sp] dense | [5Sp, 128] grouped block tiles
+        wvecb_ref,  # [8, Sp] grouped entry-weight vectors | dummy
+        msegb_ref,  # [Sp, 128] grouped state->segment indicator | dummy
+        uexitb_ref,  # [128, Sp] grouped silent exits^T | dummy
         end_ref,  # [Sp, 128]
         bstack_ref,  # out [1, BT, Sp] (slot i)
         blstack_ref,  # out [1, BT, 128]
@@ -154,7 +265,7 @@ def make_fused_scorer(
         base = jnp.sum(
             jnp.where(lane == (Lp - 1 - k), seq_ref[:, :], 0), axis=1, keepdims=True
         )
-        bn = _select_matmul(b, base, abwd_ref, Sp)
+        bn = _step_bwd(b, base, abwd_ref, wvecb_ref, msegb_ref, uexitb_ref)
         m = jnp.max(bn, axis=1, keepdims=True)
         m = jnp.where(m > 0, m, 1.0)
         bn = bn / m
@@ -172,7 +283,10 @@ def make_fused_scorer(
     def fwd_kernel(
         seq_ref,  # [BT, Lp]
         lens_ref,  # [BT, 128]
-        afwd_ref,  # [5Sp, Sp]
+        afwd_ref,  # [5Sp, Sp] dense | [5Sp, 128] grouped block tiles
+        wvecf_ref,  # [8, Sp] grouped entry-weight vectors | dummy
+        msegf_ref,  # [128, Sp] grouped segment->state indicator | dummy
+        uexitf_ref,  # [Sp, 128] grouped silent exits | dummy
         uent_ref,  # [Sp, Kp]
         eent_ref,  # [8, Kp]
         end_ref,  # [Sp, 128]
@@ -209,7 +323,7 @@ def make_fused_scorer(
         base = jnp.sum(
             jnp.where(lane == k, seq_ref[:, :], 0), axis=1, keepdims=True
         )
-        vn = _select_matmul(v, base, afwd_ref, Sp)
+        vn = _step_fwd(v, base, afwd_ref, wvecf_ref, msegf_ref, uexitf_ref)
         # entry flows factor as (v @ Uent) * Eent[base]: one unmasked matmul
         # plus a VPU emission select instead of riding the 5-way masked one
         ve_u = jnp.dot(v, uent_ref[:, :], preferred_element_type=jnp.float32)
@@ -285,11 +399,19 @@ def make_fused_scorer(
         mv = jnp.where(act, mv, jrow)
         dp_scr[:, :] = dp
         path_ref[0] = mv
-        dpfin_ref[:, :] = dp
-        f_lin = jnp.dot(v, end_ref[:, :], preferred_element_type=jnp.float32)[:, :1]
-        flog = jnp.log(jnp.maximum(f_lin, 1e-38)) + fls
-        flog_ref[:, :] = jnp.broadcast_to(flog, (BT, 128))
-        tp_ref[:, :] = tp
+
+        # final-only outputs: the end-weight contraction is a G-tile matmul
+        # per step if done unconditionally — only the last step's value is
+        # observable (output blocks persist across the sequential grid)
+        @pl.when(k == Lp - 1)
+        def _():
+            dpfin_ref[:, :] = dp
+            f_lin = jnp.dot(
+                v, end_ref[:, :], preferred_element_type=jnp.float32
+            )[:, :1]
+            flog = jnp.log(jnp.maximum(f_lin, 1e-38)) + fls
+            flog_ref[:, :] = jnp.broadcast_to(flog, (BT, 128))
+            tp_ref[:, :] = tp
 
     # ---------------- traceback kernel ----------------
     # labels accumulate in a [BT, Wp] VMEM buffer (lane = read position,
@@ -328,6 +450,11 @@ def make_fused_scorer(
 
     Afwd_j = jnp.asarray(Afwd)
     Abwd_j = jnp.asarray(Abwd)
+    wvec_j = jnp.asarray(wvec)
+    msegF_j = jnp.asarray(msegF)
+    msegB_j = jnp.asarray(msegB)
+    uexitF_j = jnp.asarray(uexitF)
+    uexitB_j = jnp.asarray(uexitB)
     uentp_j = jnp.asarray(uentp)
     eentp_j = jnp.asarray(eentp)
     endp_j = jnp.asarray(endp)
@@ -347,7 +474,10 @@ def make_fused_scorer(
             in_specs=[
                 pl.BlockSpec((BT, Lp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((5 * Sp, Sp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(Abwd.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(wvec.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(msegB.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(uexitB.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Sp, 128), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -365,7 +495,7 @@ def make_fused_scorer(
                 pltpu.VMEM((BT, 128), jnp.float32),
             ],
             interpret=interpret,
-        )(seqs, lens_b, Abwd_j, endp_j)
+        )(seqs, lens_b, Abwd_j, wvec_j, msegB_j, uexitB_j, endp_j)
 
         path, dpfin, flog, tpout = pl.pallas_call(
             fwd_kernel,
@@ -373,7 +503,10 @@ def make_fused_scorer(
             in_specs=[
                 pl.BlockSpec((BT, Lp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((5 * Sp, Sp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(Afwd.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(wvec.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(msegF.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(uexitF.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Sp, Kp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, Kp), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Sp, 128), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
@@ -404,8 +537,8 @@ def make_fused_scorer(
                 pltpu.VMEM((BT, Hp), jnp.float32),
             ],
             interpret=interpret,
-        )(seqs, lens_b, Afwd_j, uentp_j, eentp_j, endp_j, lmapp_j, entp_j,
-          tmatp_j, diagp_j, bstack, blstack, logpb)
+        )(seqs, lens_b, Afwd_j, wvec_j, msegF_j, uexitF_j, uentp_j, eentp_j,
+          endp_j, lmapp_j, entp_j, tmatp_j, diagp_j, bstack, blstack, logpb)
 
         labels_w = pl.pallas_call(
             tb_kernel,

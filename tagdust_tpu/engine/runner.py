@@ -140,7 +140,11 @@ def _run_sharded(scorer, eng, seqs, lens_arr, want_labels):
 
     B, Lp = seqs.shape
     if scorer.use_pallas:
-        Sp = (eng.lat.S + 127) // 128 * 128
+        dec = eng._grouped_decomposition()
+        if dec is not None:
+            Sp = 128 * len(dec["spans"])
+        else:
+            Sp = (eng.lat.S + 127) // 128 * 128
         per_read = (Lp + 1) * (Sp + 128) * 4
         gran = scorer.n * 256
         max_b = max(gran, eng._PALLAS_STACK_BYTES * scorer.n // per_read

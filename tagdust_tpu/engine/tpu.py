@@ -252,6 +252,29 @@ class TpuEngine:
         )
 
     # ---------------- fused Pallas path ----------------
+    def _grouped_decomposition(self):
+        """Block-banded step decomposition for large lattices (the Sp^2
+        cliff, VERDICT item 5).  Per step the grouped path issues
+        5G (blocks) + 5G (entry weights) + G (exits) + 1 MXU tile ops vs
+        the dense path's 5*ceil(S/128)^2; engaged when that is a clear
+        win.  TAGDUST_TPU_GROUPED=0/1 forces dense/grouped."""
+        import os
+
+        if not hasattr(self, "_grouped_cache"):
+            mode = os.environ.get("TAGDUST_TPU_GROUPED", "auto")
+            dec = None
+            if mode != "0":
+                from .lattice import grouped_step_decomposition
+
+                dec = grouped_step_decomposition(self.mb, self.lat)
+                if dec is not None and mode != "1":
+                    G = len(dec["spans"])
+                    dense_tiles = -(-self.lat.S // 128)
+                    if 11 * G + 1 >= 0.8 * 5 * dense_tiles * dense_tiles:
+                        dec = None
+            self._grouped_cache = dec
+        return self._grouped_cache
+
     def _get_pallas(self, Lp: int, BT: int = 256):
         key = (Lp, BT)
         if not hasattr(self, "_pallas_cache"):
@@ -273,6 +296,7 @@ class TpuEngine:
                 BT,
                 interpret=interp,
                 tmatrix=np.asarray(self._dev["tmat"]),
+                grouped=self._grouped_decomposition(),
             )
             lat_dev = self._dev
             bg = lat_dev["bg"]
@@ -332,7 +356,11 @@ class TpuEngine:
         consume scores."""
         B, Lp = seqs.shape
         fullfn, _, BT = self._get_pallas(Lp)
-        Sp = (self.lat.S + 127) // 128 * 128
+        dec = self._grouped_decomposition()
+        if dec is not None:
+            Sp = 128 * len(dec["spans"])  # grouped layout width
+        else:
+            Sp = (self.lat.S + 127) // 128 * 128
         max_b = self._PALLAS_STACK_BYTES // ((Lp + 1) * (Sp + 128) * 4)
         max_b = max(BT, max_b // BT * BT)
         pad = (-B) % BT
