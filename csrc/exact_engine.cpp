@@ -35,8 +35,13 @@ enum { MM = 0, MI = 1, MD = 2, II = 3, IM = 4, DD = 5, DM = 6, MSKIP = 7, ISKIP 
 inline float logsum(float a, float b) {
     float mx = a > b ? a : b;
     float mn = a > b ? b : a;
-    if (mn == -INFINITY || (mx - mn) >= 15.7f) return mx;
-    return mx + g_tbl[(int)((mx - mn) * 1000.0f)];
+    float d = mx - mn;
+    if (mn == -INFINITY || d >= 15.7f) return mx;
+    // d is >= 0 or NaN (NaN only from NaN/inf inputs on impossible reads);
+    // the reference indexes its table with (int)NaN there — UB
+    // (misc.c:72-78).  Defined choice matching logsum.py: slot 0.
+    if (!(d >= 0.0f)) d = 0.0f;
+    return mx + g_tbl[(int)(d * 1000.0f)];
 }
 
 inline float sp2p(float x) {
@@ -333,6 +338,12 @@ void run_decode(const Model& m, Scratch& sc, const uint8_t* seq, int L,
         labels[L] = mv;
         int move = mv;
         for (int i = L; i > 0; i--) {
+            // all-NaN dyn rows (impossible reads: P(x|M)=0, b_score=-inf)
+            // leave path entries at -1; the reference reads out of bounds
+            // there (barcode_hmm.c:4510 with a stale/-1 move — UB).  Such
+            // reads are always rejected by the NaN-Q threshold gate, so a
+            // defined clamp changes no observable output.
+            if (move < 0 || move >= Htot) move = 0;
             move = sc.path[(size_t)i * Htot + move];
             labels[i - 1] = move;
         }

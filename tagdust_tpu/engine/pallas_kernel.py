@@ -338,7 +338,8 @@ def make_fused_scorer(
         bw = bstack_ref[0]
         bls_i = blstack_ref[0][:, :1]
         logpb = logpb_ref[:, :1]
-        w = jnp.exp(fls + bls_i - logpb)
+        # clamped like engine/tpu.py: padded steps must not overflow to inf
+        w = jnp.exp(jnp.minimum(fls + bls_i - logpb, 60.0))
         plab = (
             jnp.dot(vn * bw, lmap_ref[:, :], preferred_element_type=jnp.float32) * w
         )

@@ -203,6 +203,11 @@ def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
         else:
             seqs[i, : r.len] = r.seq
         lens_arr[i] = lens[i]
+    if Bpad > B:
+        # pad with copies of read 0 (zero rows can be impossible reads ->
+        # deliberate NaN Q in discarded rows, hostile to jax_debug_nans)
+        seqs[B:] = seqs[0]
+        lens_arr[B:] = lens_arr[0]
     # TAGDUST_TPU_PALLAS=0 forces the XLA scan flavor (same lattice, same
     # decisions — used by CPU test rigs where interpret-mode Pallas is slow)
     use_pallas = os.environ.get("TAGDUST_TPU_PALLAS", "1") == "1" and Lpad <= 4096

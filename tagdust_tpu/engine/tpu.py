@@ -106,7 +106,10 @@ def _forward_backward(lat_dev, seqs, lens):
         Y = W @ Afwd  # [B, S+K]
         vn = Y[:, :S]
         ve = Y[:, S:]
-        w = jnp.exp(ls + bls - logP_b)  # [B]
+        # clamp: on inactive (padded) steps the stale scales can make the
+        # exponent overflow; inf * 0 posteriors would produce masked-away
+        # NaNs that still trip jax_debug_nans (active values are << e^60)
+        w = jnp.exp(jnp.minimum(ls + bls - logP_b, 60.0))  # [B]
         post = vn * bw
         plab = (post @ Lmap) * w[:, None]
         tpn = tp + ve * (bw @ ent_sel) * w[:, None]
@@ -365,10 +368,14 @@ class TpuEngine:
         max_b = max(BT, max_b // BT * BT)
         pad = (-B) % BT
         if pad:
+            # pad with copies of read 0: zero-filled length-1 pad reads can
+            # be impossible under the model (P(x|M)=0 -> deliberate NaN Q),
+            # which would leak NaNs into the discarded rows of the jit
+            # output and trip jax_debug_nans
             seqs = np.concatenate(
-                [seqs, np.zeros((pad, Lp), seqs.dtype)], axis=0
+                [seqs, np.broadcast_to(seqs[:1], (pad, Lp))], axis=0
             )
-            lens = np.concatenate([lens, np.ones(pad, lens.dtype)])
+            lens = np.concatenate([lens, np.broadcast_to(lens[:1], (pad,))])
         outs = []
         for s in range(0, seqs.shape[0], max_b):
             outs.append(

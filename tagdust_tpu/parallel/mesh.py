@@ -127,8 +127,11 @@ class ShardedScorer:
         gran = self.n * tile
         pad = (-B) % gran
         if pad:
-            seqs = np.concatenate([seqs, np.zeros((pad, seqs.shape[1]), seqs.dtype)])
-            lens = np.concatenate([lens, np.ones(pad, lens.dtype)])
+            # copies of read 0, not zero rows — see tpu.run_batch_pallas
+            seqs = np.concatenate(
+                [seqs, np.broadcast_to(seqs[:1], (pad, seqs.shape[1]))]
+            )
+            lens = np.concatenate([lens, np.broadcast_to(lens[:1], (pad,))])
         valid = np.zeros(seqs.shape[0], dtype=bool)
         valid[:B] = True
         dtype = np.uint8 if self.use_pallas else np.int32
@@ -200,7 +203,9 @@ def _expected_lattice_counts(lat_dev, seqs, lens):
         oh, act, bw, bls = x
         W = expand(v, oh)  # [B, 5S]
         vn = W @ Afwd[:, :S]
-        w = jnp.exp(ls + bls - logP) * act  # [B]
+        # exponent clamped so padded steps cannot overflow to inf (inf * 0
+        # masks to NaN and trips jax_debug_nans; active values are tiny)
+        w = jnp.exp(jnp.minimum(ls + bls - logP, 60.0)) * act  # [B]
         # transition posterior: A[c][s,t] * v[s] * b[t] * w, batch-summed
         Y = jnp.einsum("bx,bt->xt", W * w[:, None], bw)  # [5S, S]
         CT, CTc = kahan_add(CT, CTc, Y.reshape(5, S, S) * A3)
