@@ -88,6 +88,11 @@ class Params:
     profile_dir: Optional[str] = None
     show_help: bool = False
     show_version: bool = False
+    # multi-host (jax.distributed) execution
+    multihost: bool = False
+    coordinator: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
     @property
     def infiles(self) -> int:
@@ -134,6 +139,10 @@ _OPTS = {
     "rtest": ("rtest", None),
     "engine": ("engine", str),
     "profile": ("profile_dir", str),
+    "multihost": ("multihost", None),
+    "coordinator": ("coordinator", str),
+    "nprocs": ("num_processes", int),
+    "procid": ("process_id", int),
 }
 
 # short single-char options "Q:e:o:p:q:hvf:t:i:l:L:a:" (interface.c:183)

@@ -67,6 +67,23 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
     log = log or MessageLog()
     nfiles = param.infiles
 
+    # multi-host: each process owns chunks with index % nproc == pid and
+    # writes its own output shard; counters are summed across hosts at the
+    # end (parallel/multihost.py)
+    pid, nproc = 0, 1
+    if getattr(param, "multihost", False):
+        from .parallel.multihost import init_multihost
+
+        pid, nproc = init_multihost(
+            param.coordinator, param.num_processes, param.process_id
+        )
+        if nproc > 1 and param.outfile:
+            param.outfile = f"{param.outfile}.h{pid}"
+            log(
+                f"Multi-host run: process {pid}/{nproc}; "
+                f"output shard prefix {param.outfile}\n"
+            )
+
     cli_rs = read_structure_from_params(param.segments)
 
     read_structures: List[ReadStructure] = []
@@ -227,6 +244,7 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             writer_thread.join(timeout=60)
 
     first_batch = True
+    chunk_idx = -1
     while True:
         item = chunk_q.get()
         if isinstance(item, BaseException):
@@ -235,6 +253,7 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         chunks = item
         if sum(len(c) for c in chunks) == 0:
             break
+        chunk_idx += 1
         numseqs = [len(c) for c in chunks]
         for i in range(nfiles - 1):
             for j in range(i + 1, nfiles):
@@ -259,6 +278,10 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
                             log.flush(param.outfile)
                             _shutdown_pipeline()
                             raise SystemExit(1)
+
+        if chunk_idx % nproc != pid:
+            first_batch = False
+            continue  # another host owns this chunk (consistency checks ran)
 
         # model realloc on longer reads only grows DP scratch (the compiled
         # parameters do not depend on max_seq_len), so nothing to do here
@@ -336,6 +359,16 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         writer.close()
     for r in readers:
         r.close()
+
+    if nproc > 1:
+        # every host's logfile reports the GLOBAL outcome totals (the
+        # cross-host analogue of the reference's join-then-reduce)
+        from .parallel.multihost import global_counter_sum
+
+        counters = global_counter_sum(counters)
+        if mer_hash:
+            mh = global_counter_sum({str(i): v for i, v in enumerate(mer_hash)})
+            mer_hash = [mh[str(i)] for i in range(len(mer_hash))]
 
     log("Done.\n\n")
     for i in range(nfiles):
