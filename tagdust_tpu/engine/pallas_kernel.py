@@ -32,6 +32,11 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+# profiling-only ablation switches (see docs/PERFORMANCE.md methodology):
+# {"labeldp", "plab", "tp", "tb"} — never set in production code paths
+ABLATE: set = set()
+
+
 def make_fused_scorer(
     A: np.ndarray,  # [5, S, S] f32
     Uent: np.ndarray,  # [S, K] base-independent entry rows
@@ -340,11 +345,18 @@ def make_fused_scorer(
         logpb = logpb_ref[:, :1]
         # clamped like engine/tpu.py: padded steps must not overflow to inf
         w = jnp.exp(jnp.minimum(fls + bls_i - logpb, 60.0))
-        plab = (
-            jnp.dot(vn * bw, lmap_ref[:, :], preferred_element_type=jnp.float32) * w
-        )
-        bwsel = jnp.dot(bw, entsel_ref[:, :], preferred_element_type=jnp.float32)
-        tpn = tp + ve * bwsel * w
+        if "plab" in ABLATE:
+            plab = jnp.zeros((BT, Hp), jnp.float32)
+        else:
+            plab = (
+                jnp.dot(vn * bw, lmap_ref[:, :], preferred_element_type=jnp.float32)
+                * w
+            )
+        if "tp" in ABLATE:
+            tpn = tp
+        else:
+            bwsel = jnp.dot(bw, entsel_ref[:, :], preferred_element_type=jnp.float32)
+            tpn = tp + ve * bwsel * w
         m = jnp.max(vn, axis=1, keepdims=True)
         m = jnp.where(m > 0, m, 1.0)
         vn2 = vn / m
@@ -360,7 +372,10 @@ def make_fused_scorer(
         # ---- fused optimal-accuracy label DP step (barcode_hmm.c:4451) ----
         dp = dp_scr[:, :]
         jrow = jax.lax.broadcasted_iota(jnp.int32, (BT, Hp), 1)
-        if fast_label_dp:
+        if "labeldp" in ABLATE:
+            mx = dp
+            mv = jrow
+        elif fast_label_dp:
             # diagonal-only columns read their own dp; each wide column is
             # one masked lane reduction.  Tie semantics match the unrolled
             # loop given dp >= 0 and a binary tmat: first maximal source,
@@ -555,7 +570,9 @@ def make_fused_scorer(
                 pltpu.VMEM((BT, Wp), jnp.int32),
             ],
             interpret=interpret,
-        )(path, dpfin)
+        )(path, dpfin) if "tb" not in ABLATE else jnp.zeros(
+            (B, Wp), jnp.int32
+        )
         labels = labels_w[:, : Lp + 1]  # [B, Lp+1]; slot 0 is the pre-read slot
 
         return flog[:, 0], logpb[:, 0], labels, (tpout[:, :K] if K else tpout[:, :0])
