@@ -215,15 +215,20 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             chunk_q.put(e)
 
     def _writer_loop() -> None:
+        # after a write failure the loop keeps DRAINING until the None
+        # sentinel: exiting immediately would leave the maxsize-1 queue full
+        # and deadlock the main thread's next blocking put() (a disk-full
+        # error would hang the run instead of raising — ADVICE round 2)
         while True:
             item = write_q.get()
             if item is None:
                 return
+            if writer_err:
+                continue
             try:
                 writer.write_batch(*item)
             except BaseException as e:  # noqa: BLE001
                 writer_err.append(e)
-                return
 
     reader_thread = threading.Thread(
         target=_reader_loop, name="tagdust-reader", daemon=True
@@ -357,8 +362,13 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
     reader_thread.join(timeout=10)
     if writer is not None:
         writer.close()
-    for r in readers:
-        r.close()
+    if not reader_thread.is_alive():
+        # only close the readers once the reader thread is provably done
+        # with them: a timed-out join (stalled IO) with a concurrent close
+        # would be a racy file-object use-after-close (ADVICE round 2); the
+        # daemon thread and its handles are reclaimed at process exit
+        for r in readers:
+            r.close()
 
     if nproc > 1:
         # every host's logfile reports the GLOBAL outcome totals (the

@@ -77,6 +77,24 @@ def make_fused_scorer(
         spans = grouped["spans"]
         G = len(spans)
         if grouped["Uexit"].shape[1] > 128:
+            # the silent-exit projection packs one column per segment into a
+            # single 128-lane tile; >128 segments would need a multi-tile
+            # Uexit.  Unreachable from the CLI (the reference grammar allows
+            # at most 10 segments, interface.c:132-183) but a silent drop
+            # here would quietly pay the dense Sp^2 cliff, so be loud
+            # (VERDICT round 2, item 7).
+            from ..strict import fallback
+
+            fallback(
+                "grouped-step-kernel",
+                ValueError(
+                    f"{grouped['Uexit'].shape[1]} segments > 128-lane "
+                    "silent-exit tile"
+                ),
+                "architecture exceeds the block-banded kernel's 128-segment "
+                "bound; scoring on the dense step path (quadratic in lattice "
+                "banks)",
+            )
             grouped = None  # >128 segments: dense fallback
             G = 0
     if grouped is not None:

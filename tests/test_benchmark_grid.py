@@ -20,9 +20,9 @@ requires_dev = pytest.mark.skipif(
 
 
 def run_tool(mod, args, cwd):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env["TAGDUST_TPU_RTEST"] = "1"
+    from conftest import spawn_env
+
+    env = spawn_env()
     res = subprocess.run(
         [sys.executable, "-m", f"tagdust_tpu.cli.{mod}", *args],
         cwd=cwd, env=env, capture_output=True, text=True,

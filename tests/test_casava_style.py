@@ -56,9 +56,9 @@ def _make_inputs(cwd: str) -> None:
 
 
 def _run_ours(cwd: str) -> None:
-    env = dict(os.environ)
-    env["TAGDUST_TPU_RTEST"] = "1"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    from conftest import spawn_env
+
+    env = spawn_env()
     res = subprocess.run(
         [
             sys.executable,

@@ -37,9 +37,9 @@ GOLD_READ_PAIRED = (
 
 
 def run_tool(tool, args, cwd):
-    env = dict(os.environ)
-    env["TAGDUST_TPU_RTEST"] = "1"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    from conftest import spawn_env
+
+    env = spawn_env()
     res = subprocess.run(
         [sys.executable, "-m", f"tagdust_tpu.cli.{tool}"] + args,
         cwd=cwd,

@@ -37,9 +37,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_tool(tool, args, cwd, extra_env=None):
-    env = dict(os.environ)
-    env["TAGDUST_TPU_RTEST"] = "1"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    from conftest import spawn_env
+
+    env = spawn_env()
     if extra_env:
         env.update(extra_env)
     res = subprocess.run(

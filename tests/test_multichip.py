@@ -147,14 +147,12 @@ def test_cli_device_count_invariance(tmp_path):
     )
     outs = {}
     for n in (1, 8):
-        env = dict(os.environ)
-        env.update(
-            TAGDUST_TPU_RTEST="1",
+        from conftest import spawn_env
+
+        env = spawn_env(
             TAGDUST_TPU_PALLAS="0",
             TAGDUST_TPU_STRICT="1",
-            JAX_PLATFORMS="cpu",
             XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
-            PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         )
         res = subprocess.run(
             [sys.executable, "-m", "tagdust_tpu.cli.tagdust", "-seed", "42",

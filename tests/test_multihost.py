@@ -50,19 +50,10 @@ def test_two_process_run_matches_single(tmp_path):
          "-sim_random_frac", "0.1", "-o", "mh.fq"],
         cwd,
     )
-    base_env = dict(os.environ)
-    # scrub single-chip TPU-plugin vars leaked by this (python) test runner:
-    # they make the subprocess initialize a single-process backend at
-    # interpreter startup, before tagdust's jax.distributed init can run.
-    # Real pods set such vars legitimately and use the TPU backend.
-    for k in list(base_env):
-        if k.startswith(("TPU_", "AXON_", "_AXON", "PALLAS_AXON")) or k == "XLA_FLAGS":
-            base_env.pop(k)
-    base_env.update(
-        TAGDUST_TPU_RTEST="1",  # chunk size 1000 -> 2 chunks, one per host
-        JAX_PLATFORMS="cpu",
-        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
-    )
+    from conftest import spawn_env
+
+    # TAGDUST_TPU_RTEST=1: chunk size 1000 -> 2 chunks, one per host
+    base_env = spawn_env()
     common = ["mh.fq", "-arch", "mh.fq_tagdust_arch.txt", "-Q", "10"]
 
     res = subprocess.run(

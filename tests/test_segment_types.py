@@ -17,9 +17,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_tagdust(cwd, args):
-    env = dict(os.environ)
-    env["TAGDUST_TPU_RTEST"] = "1"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    from conftest import spawn_env
+
+    env = spawn_env()
     res = subprocess.run(
         [sys.executable, "-m", "tagdust_tpu.cli.tagdust", "-seed", "42", *args],
         cwd=cwd,

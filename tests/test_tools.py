@@ -21,8 +21,9 @@ def _revcomp(s: str) -> str:
 
 
 def _run(mod, args, cwd):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    from conftest import spawn_env
+
+    env = spawn_env(rtest=False)
     res = subprocess.run(
         [sys.executable, "-m", mod, *args],
         cwd=cwd, env=env, capture_output=True, text=True,
@@ -158,8 +159,9 @@ def test_cli_error_paths(tmp_path):
         fh.write("@a\nACGTACGT\n+\nIIIIIIII\n")
 
     def run(args):
-        env = dict(os.environ)
-        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        from conftest import spawn_env
+
+        env = spawn_env(rtest=False)
         return subprocess.run(
             [sys.executable, "-m", "tagdust_tpu.cli.tagdust", *args],
             cwd=cwd, env=env, capture_output=True, text=True,
