@@ -1,14 +1,18 @@
 // Native FASTQ codec: fast parse/encode of FASTQ buffers into flat arrays.
 //
 // The reference outsources decompression to child processes and parses with
-// per-line fgets (io.c:459-606, :1684-1815); the Python fallback in
-// tagdust_tpu.io.fastq mirrors that line-state machine.  This codec is the
-// hot-path replacement: one pass over a raw buffer producing
-//   - name offsets/lengths into the buffer,
-//   - 0-5 nucleotide codes written into a flat uint8 arena,
-//   - qual offsets (into the buffer) and per-record lengths,
-// using the same record grammar (header '@'/'>' when expecting one, '+'
-// separator, single-line sequences).
+// a per-line state machine (io.c:459-606, :1684-1815); the Python fallback
+// in tagdust_tpu.io.fastq mirrors that line-state machine.  This codec is
+// the hot-path replacement: one pass over a raw buffer producing columnar
+// output (names / 0-5 seq codes / quality bytes copied into flat arenas with
+// offsets), using the same line-state grammar:
+//   - a line starting '@' or '>' (when no record part is pending) starts a
+//     record; the NEXT line is the sequence, whatever it contains;
+//   - a line starting '+' (when nothing pending) announces that the NEXT
+//     line is the quality string (checked same-length as the sequence);
+//   - other lines between records are ignored;
+//   - empty sequence/quality lines are valid (length 0), matching the
+//     reference parser which assigns line content by state, not by content.
 
 #include <cstdint>
 #include <cstring>
@@ -27,96 +31,123 @@ void nuc_init() {
     NUC['U'] = 3; NUC['u'] = 3;
     nuc_init_done = true;
 }
+
+// Scan one line starting at pos.  Sets [*ls, *le) = content excluding the
+// line terminator and any trailing '\r' (mirroring rstrip(b"\r\n")).
+// Returns the position after the '\n', or -1 when the line has no terminator
+// and !at_eof (i.e. it may be truncated: wait for more data).
+long scan_line(const char* buf, long n, long pos, int at_eof, long* ls,
+               long* le) {
+    long p = pos;
+    while (p < n && buf[p] != '\n') p++;
+    if (p >= n && !at_eof) return -1;
+    long end = p;
+    while (end > pos && buf[end - 1] == '\r') end--;
+    *ls = pos;
+    *le = end;
+    return p < n ? p + 1 : n;
+}
 }  // namespace
 
 extern "C" {
 
-// Parse up to max_records FASTQ records from buf[0..n).
-// Returns number of records parsed; *consumed = bytes consumed (so callers
-// can stream chunks: unconsumed tail carries to the next call).
-// Outputs (all arrays sized max_records unless noted):
-//   name_off/name_len: header byte ranges (after '@')
-//   seq_arena: 0-5 codes, concatenated; seq_off/seq_len index into it
-//   qual_off/qual_len: quality byte ranges in buf (len 0 = absent)
-long td_parse_fastq(const char* buf, long n, long max_records, int at_eof,
-                    long* name_off, int* name_len, uint8_t* seq_arena,
-                    long seq_arena_cap, long* seq_off, int* seq_len,
-                    long* qual_off, int* qual_len, long* consumed) {
+// Parse up to max_records records from buf[0..n) into columnar arenas.
+// Returns the number of records parsed, or -1 on a sequence/quality length
+// mismatch; *consumed = bytes consumed (callers stream the unconsumed tail
+// into the next call).  qual_len = -1 marks an absent quality line (FASTA /
+// truncated record); 0 is a present, empty quality line.  Arena capacities
+// of n bytes are always sufficient (copied content is a subset of buf).
+long td_parse_fastq2(const char* buf, long n, long max_records, int at_eof,
+                     uint8_t* name_arena, long* name_off, int* name_len,
+                     uint8_t* seq_arena, long seq_arena_cap, long* seq_off,
+                     int* seq_len, uint8_t* qual_arena, long* qual_off,
+                     int* qual_len, long* consumed) {
     nuc_init();
     long pos = 0;
     long rec = 0;
-    long arena = 0;
-    long last_complete = 0;
+    long sarena = 0, narena = 0, qarena = 0;
+    long committed = 0;  // bytes consumed through the last committed record
     while (pos < n && rec < max_records) {
-        // find header
-        if (buf[pos] != '@' && buf[pos] != '>') {
-            // skip stray line
-            while (pos < n && buf[pos] != '\n') pos++;
-            if (pos < n) pos++;
+        long ls, le, p;
+        // ---- find a header line ----
+        p = scan_line(buf, n, pos, at_eof, &ls, &le);
+        if (p < 0) break;
+        if (ls >= le || (buf[ls] != '@' && buf[ls] != '>')) {
+            pos = p;  // stray line between records: ignored
             continue;
         }
-        // Truncated records at EOF are emitted partially (header-only, or
-        // seq without qual) exactly like the line-state parser the
-        // reference uses (io.c:1684-1815): a read is appended when its
-        // header is seen, later lines only fill it in.
-        bool fasta = buf[pos] == '>';
-        long hstart = pos + 1;
-        long p = hstart;
-        while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
-        if (p >= n && !at_eof) break;  // incomplete header: wait for data
-        long hend = p;
-        long sstart = p, send = p;
-        long qstart = 0, qlen = 0;
-        if (p < n) {
-            while (p < n && (buf[p] == '\n' || buf[p] == '\r')) p++;
-            // sequence line
-            sstart = p;
-            while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
-            if (p >= n && !at_eof) break;
-            send = p;
-            while (p < n && (buf[p] == '\n' || buf[p] == '\r')) p++;
-            long slen = send - sstart;
-            if (!fasta && p < n) {
-                if (buf[p] != '+') break;
-                while (p < n && buf[p] != '\n') p++;
-                if (p >= n && !at_eof) break;
-                if (p < n) {
-                    p++;
-                    if (p >= n && !at_eof) break;  // qual not arrived yet
-                    if (p < n) {  // a qual line exists (maybe empty)
-                        qstart = p;
-                        while (p < n && buf[p] != '\n' && buf[p] != '\r') p++;
-                        if (p >= n && !at_eof) break;  // qual may be truncated
-                        long qend = p;
-                        if (qend - qstart != slen) {
-                            // malformed; fail hard like the reference check
-                            return -1;
-                        }
-                        qlen = qend - qstart;
-                        while (p < n && (buf[p] == '\n' || buf[p] == '\r')) p++;
-                    }
-                    // else: EOF right after '+': qual never arrived -> absent
+        long hs = ls + 1, he = le;
+        // ---- the next line is the sequence (whatever it contains) ----
+        long ss = -1, se = -1;
+        long after_seq = -1;
+        if (p < n || at_eof) {
+            if (p >= n) { ss = se = n; after_seq = n; }
+            else {
+                after_seq = scan_line(buf, n, p, at_eof, &ss, &se);
+                if (after_seq < 0) {
+                    if (!at_eof) break;
+                    ss = se = n; after_seq = n;
                 }
-            } else if (!fasta && !at_eof) {
-                break;  // '+' line not arrived yet
             }
+        } else break;
+        // ---- skip junk until '+', next header, or EOF ----
+        long q = after_seq;
+        long qs = -1, qe = -1;
+        bool have_qual = false;
+        bool decided = false;
+        while (q < n) {
+            long js, je;
+            long nx = scan_line(buf, n, q, at_eof, &js, &je);
+            if (nx < 0) break;  // truncated line: wait for data
+            char c = js < je ? buf[js] : '\0';
+            if (c == '@' || c == '>') { decided = true; break; }  // q stays
+            if (c == '+') {
+                // the line after '+' is the quality, whatever it contains
+                if (nx >= n) {
+                    if (!at_eof) break;  // qual line not arrived yet
+                    q = n;  // EOF right after '+': qual stays absent
+                    decided = true;
+                    break;
+                }
+                long nx2 = scan_line(buf, n, nx, at_eof, &qs, &qe);
+                if (nx2 < 0) break;
+                have_qual = true;
+                q = nx2;
+                decided = true;
+                break;
+            }
+            q = nx;  // ignored junk line
         }
-        long slen = send - sstart;
-        if (arena + slen > seq_arena_cap) break;
-        name_off[rec] = hstart;
-        name_len[rec] = (int)(hend - hstart);
-        seq_off[rec] = arena;
+        if (!decided && !(at_eof && q >= n)) break;  // need more data
+        // ---- commit ----
+        long slen = se - ss;
+        long nlen = he - hs;
+        if (sarena + slen > seq_arena_cap) break;
+        if (have_qual && (qe - qs) != slen) return -1;
+        memcpy(name_arena + narena, buf + hs, (size_t)nlen);
+        name_off[rec] = narena;
+        name_len[rec] = (int)nlen;
+        narena += nlen;
+        seq_off[rec] = sarena;
         seq_len[rec] = (int)slen;
         for (long i = 0; i < slen; i++)
-            seq_arena[arena + i] = NUC[(unsigned char)buf[sstart + i]];
-        arena += slen;
-        qual_off[rec] = qstart;
-        qual_len[rec] = (int)qlen;
+            seq_arena[sarena + i] = NUC[(unsigned char)buf[ss + i]];
+        sarena += slen;
+        if (have_qual) {
+            long ql = qe - qs;
+            memcpy(qual_arena + qarena, buf + qs, (size_t)ql);
+            qual_off[rec] = qarena;
+            qual_len[rec] = (int)ql;
+            qarena += ql;
+        } else {
+            qual_off[rec] = qarena;
+            qual_len[rec] = -1;
+        }
         rec++;
-        pos = p;
-        last_complete = p;
+        pos = q;
+        committed = q;
     }
-    *consumed = last_complete;
+    *consumed = committed;
     return rec;
 }
 

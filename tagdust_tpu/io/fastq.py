@@ -158,6 +158,17 @@ class SeqReader:
             return self._fast.read_records(num_query)
         return self._read_fasta_fastq_chunk(num_query)
 
+    def read_chunk_batch(self, num_query: int):
+        """Columnar chunk read (ReadBatch) — the production hot path.
+
+        FASTQ/FASTA via the native codec stays array-only end to end; SAM
+        and the pure-Python parser convert through per-read objects."""
+        from .batch import ReadBatch
+
+        if self._fast is not None and not self.is_sam:
+            return self._fast.read_batch(num_query)
+        return ReadBatch.from_reads(self.read_chunk(num_query))
+
     # -- FASTA / FASTQ (io.c:1684-1815) --
     def _read_fasta_fastq_chunk(self, num_query: int) -> List[Read]:
         out: List[Read] = []

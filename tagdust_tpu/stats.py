@@ -69,22 +69,18 @@ def get_sequence_stats(
     reader = SeqReader(path, sam_filter=sam_filter)
     try:
         while True:
-            chunk = reader.read_chunk(num_query)
-            if not chunk:
+            batch = reader.read_chunk_batch(num_query)
+            B = batch.B
+            if not B:
                 break
             # one vectorised pass per chunk (accumulators are integer-valued
             # float64 sums, so chunking/vectorisation changes nothing)
-            B = len(chunk)
-            lens = np.fromiter((r.len for r in chunk), dtype=np.int64, count=B)
+            lens = batch.lens
             mx = int(lens.max(initial=0))
             if mx > ssi.max_seq_len:
                 ssi.max_seq_len = mx
             sum_len += float(lens.sum())
-            allseq = (
-                np.concatenate([r.seq for r in chunk]) if B else
-                np.zeros(0, np.uint8)
-            )
-            bc = np.bincount(allseq, minlength=6)
+            bc = np.bincount(batch.seq_arena, minlength=6)
             counts[:5] += bc[:5]
             counts[4] += bc[5]  # '.' counts as slot 5 ->
             # NOTE: reference indexes background[seq[j]] directly; codes are
@@ -94,17 +90,20 @@ def get_sequence_stats(
                 # overlap longer than the read mismatches — the defined
                 # stand-in for the C code's out-of-bounds compares at
                 # io.c:146/io.c:163 (see docstring note)
-                pref = np.full((B, max(five_len, 1)), 255, dtype=np.uint8)
-                suf = np.full((B, max(three_len, 1)), 255, dtype=np.uint8)
-                for i, r in enumerate(chunk):
-                    L = r.len
-                    if five_len:
-                        w = min(L, five_len)
-                        pref[i, :w] = r.seq[:w]
-                    if three_len:
-                        w = min(L, three_len)
-                        if w:
-                            suf[i, three_len - w :] = r.seq[L - w :]
+                arena = batch.seq_arena
+                cap = max(arena.shape[0] - 1, 0)
+                off = batch.seq_off[:-1]
+                if five_len:
+                    pos = np.arange(five_len, dtype=np.int64)[None, :]
+                    idx = off[:, None] + pos
+                    pref = arena[np.minimum(idx, cap)].copy()
+                    pref[pos >= lens[:, None]] = 255
+                if three_len:
+                    pos = np.arange(three_len, dtype=np.int64)[None, :]
+                    src = (lens - three_len)[:, None] + pos
+                    idx = off[:, None] + np.maximum(src, 0)
+                    suf = arena[np.minimum(idx, cap)].copy()
+                    suf[src < 0] = 255
                 if five_len:
                     # longest linker-suffix matching the read start
                     # (io.c:141-156); first (longest) match wins per read
@@ -131,7 +130,7 @@ def get_sequence_stats(
                             t_s1 += n * m
                             t_s2 += n * m * m
                         rem &= ~hit
-            total_read += len(chunk)
+            total_read += B
             if total_read > 1000000:
                 break
     finally:
