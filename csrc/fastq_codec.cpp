@@ -159,3 +159,164 @@ void td_decode_seq(const uint8_t* codes, long n, char* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native demultiplexed-output emitter: the hot half of print_all
+// (io.c:757-1016).  Splits each read's post-extraction code string on
+// >=5-valued separators (65-spacers between multiple R segments), routes run
+// k of read i to fd[file_base[i] + k*n_alt], and writes
+//   @<name>[;FP:<key|seq>];RQ:<q.2f>\n<SEQ>\n+\n<QUAL>\n
+// with per-file buffering and direct write() syscalls (the Python writer
+// formats the identical bytes; gold tests pin the equality).
+// ---------------------------------------------------------------------------
+
+#include <cerrno>
+#include <cstdio>
+#include <cstdlib>
+#include <unistd.h>
+
+namespace {
+struct OutBuf {
+    uint8_t* data;
+    long used;
+    long cap;
+    int fd;
+};
+
+bool flush_buf(OutBuf* b) {
+    long off = 0;
+    while (off < b->used) {
+        ssize_t w = write(b->fd, b->data + off, (size_t)(b->used - off));
+        if (w < 0) {
+            if (errno == EINTR) continue;
+            return false;
+        }
+        off += w;
+    }
+    b->used = 0;
+    return true;
+}
+
+bool put_bytes(OutBuf* b, const uint8_t* p, long n) {
+    if (n > b->cap) {
+        if (!flush_buf(b)) return false;
+        long off = 0;
+        while (off < n) {
+            ssize_t w = write(b->fd, p + off, (size_t)(n - off));
+            if (w < 0) {
+                if (errno == EINTR) continue;
+                return false;
+            }
+            off += w;
+        }
+        return true;
+    }
+    if (b->used + n > b->cap && !flush_buf(b)) return false;
+    memcpy(b->data + b->used, p, (size_t)n);
+    b->used += n;
+    return true;
+}
+
+bool put_seq(OutBuf* b, const uint8_t* codes, long n) {
+    static const char alpha[6] = {'A', 'C', 'G', 'T', 'N', 'N'};
+    long done = 0;
+    while (done < n) {
+        long chunk = n - done;
+        if (b->used + chunk > b->cap) {
+            if (b->used && !flush_buf(b)) return false;
+            if (chunk > b->cap) chunk = b->cap;
+        }
+        for (long i = 0; i < chunk; i++)
+            b->data[b->used + i] =
+                (uint8_t)alpha[codes[done + i] > 5 ? 4 : codes[done + i]];
+        b->used += chunk;
+        done += chunk;
+    }
+    return true;
+}
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, -1 on a write error (errno preserved for the
+// caller), -2 on allocation failure.
+long td_emit_runs(const uint8_t* name_arena, const long* name_off,
+                  const uint8_t* seq_arena, const long* seq_off,
+                  const uint8_t* qual_arena, const long* qual_off,
+                  const long* qual_len, const double* mapq, const long* fp,
+                  int print_seq_finger, const long* file_base, long B,
+                  long n_alt, const int* fds, long n_files) {
+    const long BUFCAP = 1 << 16;
+    OutBuf* bufs = (OutBuf*)malloc(sizeof(OutBuf) * (size_t)n_files);
+    if (!bufs) return -2;
+    uint8_t* pool = (uint8_t*)malloc((size_t)(BUFCAP * n_files));
+    if (!pool) { free(bufs); return -2; }
+    for (long f = 0; f < n_files; f++) {
+        bufs[f].data = pool + BUFCAP * f;
+        bufs[f].used = 0;
+        bufs[f].cap = BUFCAP;
+        bufs[f].fd = fds[f];
+    }
+    char hdr[4096];
+    bool ok = true;
+    for (long i = 0; i < B && ok; i++) {
+        long ns = name_off[i], ne = name_off[i + 1];
+        long ss = seq_off[i], se = seq_off[i + 1];
+        long nlen = ne - ns;
+        // header tail after the name: [;FP:..];RQ:..\n
+        int hl = 0;
+        if (fp[i] != -1) {
+            if (print_seq_finger) {
+                long v = fp[i];
+                int len = (int)(v & 0xFF);
+                unsigned long long key = (unsigned long long)v >> 8;
+                char fpseq[260];
+                for (int k2 = len - 1; k2 >= 0; k2--) {
+                    fpseq[k2] = "ACGTN"[key & 0x3];
+                    key >>= 2;
+                }
+                fpseq[len < 0 ? 0 : len] = 0;
+                hl = snprintf(hdr, sizeof hdr, ";FP:%s;RQ:%.2f\n", fpseq,
+                              mapq[i]);
+            } else {
+                hl = snprintf(hdr, sizeof hdr, ";FP:%ld;RQ:%.2f\n", fp[i],
+                              mapq[i]);
+            }
+        } else {
+            hl = snprintf(hdr, sizeof hdr, ";RQ:%.2f\n", mapq[i]);
+        }
+        if (hl < 0 || hl >= (int)sizeof hdr) { ok = false; break; }
+        long run_k = 0;
+        long j = ss;
+        while (j < se && ok) {
+            while (j < se && seq_arena[j] >= 5) j++;
+            if (j >= se) break;
+            long r0 = j;
+            while (j < se && seq_arena[j] < 5) j++;
+            long fidx = file_base[i] + run_k * n_alt;
+            OutBuf* b = &bufs[fidx];
+            ok = ok && put_bytes(b, (const uint8_t*)"@", 1);
+            ok = ok && put_bytes(b, name_arena + ns, nlen);
+            ok = ok && put_bytes(b, (const uint8_t*)hdr, hl);
+            ok = ok && put_seq(b, seq_arena + r0, j - r0);
+            ok = ok && put_bytes(b, (const uint8_t*)"\n+\n", 3);
+            if (qual_len[i] >= 0) {
+                ok = ok && put_bytes(
+                    b, qual_arena + qual_off[i] + (r0 - ss), j - r0);
+            } else {
+                // FASTA input: '.'-filled quality (io.c:966 behaviour)
+                for (long d = r0; d < j && ok; d++)
+                    ok = put_bytes(b, (const uint8_t*)".", 1);
+            }
+            ok = ok && put_bytes(b, (const uint8_t*)"\n", 1);
+            run_k++;
+        }
+    }
+    for (long f = 0; f < n_files; f++)
+        if (!flush_buf(&bufs[f])) ok = false;
+    free(pool);
+    free(bufs);
+    return ok ? 0 : -1;
+}
+
+}  // extern "C"

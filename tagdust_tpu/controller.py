@@ -29,6 +29,7 @@ from .arch import (
 )
 from .calibrate import estimate_q_threshold
 from .constants import (
+    EXTRACT_FAIL_AMBIGIOUS_BARCODE,
     EXTRACT_FAIL_ARCHITECTURE_MISMATCH,
     EXTRACT_FAIL_BAR_FINGER_NOT_FOUND,
     EXTRACT_FAIL_LOW_COMPLEXITY,
@@ -37,7 +38,11 @@ from .constants import (
     EXTRACT_SUCCESS,
 )
 from .detect import test_architectures
-from .engine.runner import run_get_label, run_get_prob, run_rna_dust
+from .engine.runner import (
+    run_get_label_batch,
+    run_get_prob,
+    run_rna_dust_batch,
+)
 from .io.fastq import SeqReader, read_fasta_contaminants
 from .io.writer import DemuxWriter, existing_output_files
 from .model import init_model_bag
@@ -206,10 +211,11 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         try:
             while not stop.is_set():
                 chunks = [
-                    readers[i].read_chunk(param.num_query) for i in range(nfiles)
+                    readers[i].read_chunk_batch(param.num_query)
+                    for i in range(nfiles)
                 ]
                 chunk_q.put(chunks)
-                if sum(len(c) for c in chunks) == 0:
+                if sum(c.B for c in chunks) == 0:
                     return
         except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
             chunk_q.put(e)
@@ -226,7 +232,7 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             if writer_err:
                 continue
             try:
-                writer.write_batch(*item)
+                writer.write_batch_columnar(*item)
             except BaseException as e:  # noqa: BLE001
                 writer_err.append(e)
 
@@ -256,10 +262,10 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             _shutdown_pipeline()
             raise item
         chunks = item
-        if sum(len(c) for c in chunks) == 0:
+        if sum(c.B for c in chunks) == 0:
             break
         chunk_idx += 1
-        numseqs = [len(c) for c in chunks]
+        numseqs = [c.B for c in chunks]
         for i in range(nfiles - 1):
             for j in range(i + 1, nfiles):
                 if numseqs[i] != numseqs[j]:
@@ -275,10 +281,10 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             for i in range(nfiles - 1):
                 for j in range(i + 1, nfiles):
                     for c in range(min(1000, numseqs[0])):
-                        if checker(chunks[i][c].name, chunks[j][c].name, log):
+                        if checker(chunks[i].name(c), chunks[j].name(c), log):
                             log(
                                 "Files seem to contain reads in different "
-                                f"order:\n{chunks[i][c].name}\n{chunks[j][c].name}\n"
+                                f"order:\n{chunks[i].name(c)}\n{chunks[j].name(c)}\n"
                             )
                             log.flush(param.outfile)
                             _shutdown_pipeline()
@@ -291,30 +297,31 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         # model realloc on longer reads only grows DP scratch (the compiled
         # parameters do not depend on max_seq_len), so nothing to do here
         for i in range(nfiles):
-            for r in chunks[i]:
-                if r.len >= stats[i].max_seq_len:
-                    stats[i].max_seq_len = r.len
+            mx = int(chunks[i].lens.max(initial=0))
+            if mx >= stats[i].max_seq_len:
+                stats[i].max_seq_len = mx
 
         for i in range(nfiles):
             rs = read_structures[i]
             if rs.is_pure_R():
-                run_rna_dust(chunks[i], param, contaminants)
+                run_rna_dust_batch(chunks[i], param, contaminants)
             else:
-                run_get_label(
-                    model_bags[i], rs, chunks[i], param, thresholds[i], contaminants
+                run_get_label_batch(
+                    model_bags[i], rs, chunks[i], param, thresholds[i],
+                    contaminants,
                 )
 
         # propagate barcode from the barcoded file to file 0
         for i in range(nfiles):
             if barcode_present & (1 << i):
                 if i:
-                    for j in range(numseqs[0]):
-                        chunks[0][j].barcode = chunks[i][j].barcode
+                    chunks[0].barcode[:] = chunks[i].barcode
                 break
 
-        for i in range(numseqs[0]):
-            c = max(chunks[j][i].read_type for j in range(nfiles))
-            chunks[0][i].read_type = c
+        if nfiles > 1:
+            chunks[0].read_type[:] = np.maximum.reduce(
+                [chunks[j].read_type for j in range(nfiles)]
+            )
 
         if writer is None:
             writer = DemuxWriter(
@@ -333,26 +340,33 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         first_batch = False
 
         counters["total"] += numseqs[0]
-        for i in range(numseqs[0]):
-            rt = int(chunks[0][i].read_type)
-            if rt == EXTRACT_SUCCESS:
-                counters["success"] += 1
-            elif rt == EXTRACT_FAIL_BAR_FINGER_NOT_FOUND:
-                counters["bar_finger"] += 1
-            elif rt == EXTRACT_FAIL_READ_TOO_SHORT:
-                counters["too_short"] += 1
-            elif rt == EXTRACT_FAIL_ARCHITECTURE_MISMATCH:
-                counters["arch_mismatch"] += 1
-            elif rt == EXTRACT_FAIL_MATCHES_ARTIFACTS:
-                # reference case fallthrough (barcode_hmm.c:373-377)
-                counters["artifact"] += 1
-                counters["low_complexity"] += 1
-            elif rt == EXTRACT_FAIL_LOW_COMPLEXITY:
-                counters["low_complexity"] += 1
-            else:
-                counters["artifact"] += 1
-                if mer_hash:
-                    mer_hash[(rt >> 8) - 1] += 1
+        rt = chunks[0].read_type
+        counters["success"] += int((rt == EXTRACT_SUCCESS).sum())
+        counters["bar_finger"] += int(
+            (rt == EXTRACT_FAIL_BAR_FINGER_NOT_FOUND).sum()
+        )
+        counters["too_short"] += int((rt == EXTRACT_FAIL_READ_TOO_SHORT).sum())
+        counters["arch_mismatch"] += int(
+            (rt == EXTRACT_FAIL_ARCHITECTURE_MISMATCH).sum()
+        )
+        # reference case fallthrough (barcode_hmm.c:373-377): plain
+        # MATCHES_ARTIFACTS counts as artifact AND low complexity
+        plain_art = int((rt == EXTRACT_FAIL_MATCHES_ARTIFACTS).sum())
+        counters["artifact"] += plain_art
+        counters["low_complexity"] += plain_art + int(
+            (rt == EXTRACT_FAIL_LOW_COMPLEXITY).sum()
+        )
+        other = (rt > EXTRACT_FAIL_LOW_COMPLEXITY) | (
+            rt == EXTRACT_FAIL_AMBIGIOUS_BARCODE
+        )
+        counters["artifact"] += int(other.sum())
+        if mer_hash:
+            ids = (rt[other] >> 8) - 1
+            bc = np.bincount(
+                np.clip(ids, 0, len(mer_hash) - 1), minlength=len(mer_hash)
+            )
+            for k in range(len(mer_hash)):
+                mer_hash[k] += int(bc[k])
 
     if writer_thread is not None:
         write_q.put(None)

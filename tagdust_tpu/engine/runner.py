@@ -69,7 +69,14 @@ _ENGINE_CACHE: dict = {}
 
 
 def get_engine(mb: ModelBag, kind: str):
-    key = (id(mb), kind)
+    """Engines (and their jitted device programs) are cached by model
+    CONTENT, so repeated controller invocations with the same architecture
+    (calibration -> production, or back-to-back runs in one process) reuse
+    the compiled pipeline instead of recompiling per ModelBag object."""
+    dig = getattr(mb, "_digest_cache", None)
+    if dig is None:
+        dig = mb._digest_cache = mb.digest()
+    key = (dig, kind)
     if key not in _ENGINE_CACHE:
         if kind == "tpu":
             from .tpu import TpuEngine
@@ -169,56 +176,46 @@ def _run_sharded(scorer, eng, seqs, lens_arr, want_labels):
     )
 
 
-def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
-    """TPU path: one padded rectangular batch per chunk (length bucketed to
-    multiples of 32 for compile-cache reuse; batch padded to powers of two
-    up to 32k, then 32k granules, bounding the compile-cache shapes).
+def _pad_tpu_batch(seqs: np.ndarray, lens_arr: np.ndarray):
+    """Pad [B, L] inputs to compile-cache-friendly shapes: length bucketed to
+    multiples of 32, batch to powers of two up to 32k then 32k granules.
+    Pad rows are copies of read 0 (zero rows can be impossible reads ->
+    deliberate NaN Q in discarded rows, hostile to jax_debug_nans)."""
+    B, L = seqs.shape
+    Lpad = max(((L + 31) // 32) * 32, 32)
+    if B <= 32768:
+        Bpad = 1 << max(8, (B - 1).bit_length())
+    else:
+        Bpad = ((B + 32767) // 32768) * 32768
+    out = np.zeros((Bpad, Lpad), dtype=np.uint8)
+    out[:B, :L] = seqs
+    lens = np.ones(Bpad, dtype=np.int32)
+    lens[:B] = lens_arr
+    if Bpad > B:
+        out[B:] = out[0]
+        lens[B:] = lens[0]
+    return out, lens
+
+
+def score_arrays_tpu(eng, seqs: np.ndarray, lens_arr: np.ndarray,
+                     want_labels: bool = True):
+    """Score one already-padded [Bpad, Lpad] batch on the device engine.
 
     With more than one visible device the batch is sharded data-parallel
     over the full device mesh (`parallel/mesh.py`), running the same fused
     Pallas pipeline per chip; decisions are device-count-invariant
     (asserted by tests/test_multichip.py)."""
-    eng = get_engine(mb, "tpu")
-    lens = []
-    for r in reads:
-        L = r.len
-        if matchstart != -1 or matchend != -1:
-            L = matchend - matchstart
-        lens.append(L)
-    if not lens:
-        return None
-    Lmax = max(lens)
-    Lpad = ((Lmax + 31) // 32) * 32
-    B = len(reads)
-    if B <= 32768:
-        Bpad = 1 << max(8, (B - 1).bit_length())
-    else:
-        Bpad = ((B + 32767) // 32768) * 32768
-    seqs = np.zeros((Bpad, Lpad), dtype=np.uint8)
-    lens_arr = np.ones(Bpad, dtype=np.int32)
-    for i, r in enumerate(reads):
-        if matchstart != -1 or matchend != -1:
-            sub = r.seq[matchstart:matchend]
-            seqs[i, : sub.shape[0]] = sub
-        else:
-            seqs[i, : r.len] = r.seq
-        lens_arr[i] = lens[i]
-    if Bpad > B:
-        # pad with copies of read 0 (zero rows can be impossible reads ->
-        # deliberate NaN Q in discarded rows, hostile to jax_debug_nans)
-        seqs[B:] = seqs[0]
-        lens_arr[B:] = lens_arr[0]
+    B, Lpad = seqs.shape
     # TAGDUST_TPU_PALLAS=0 forces the XLA scan flavor (same lattice, same
     # decisions — used by CPU test rigs where interpret-mode Pallas is slow)
     use_pallas = os.environ.get("TAGDUST_TPU_PALLAS", "1") == "1" and Lpad <= 4096
     scorer = _mesh_scorer(eng, use_pallas, B)
     try:
         if scorer is not None:
-            res = _run_sharded(scorer, eng, seqs, lens_arr, want_labels)
-        elif use_pallas:
-            res = eng.run_batch_pallas(seqs, lens_arr, want_labels=want_labels)
-        else:
-            res = eng.run_batch(seqs, lens_arr)
+            return _run_sharded(scorer, eng, seqs, lens_arr, want_labels)
+        if use_pallas:
+            return eng.run_batch_pallas(seqs, lens_arr, want_labels=want_labels)
+        return eng.run_batch(seqs, lens_arr)
     except Exception as e:  # noqa: BLE001 — loud downgrade, strict re-raise
         fallback(
             "pallas-scorer",
@@ -226,7 +223,30 @@ def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
             "device scoring pipeline failed; scoring on the single-device "
             "XLA scan engine (~17x slower)",
         )
-        res = eng.run_batch(seqs, lens_arr)
+        return eng.run_batch(seqs, lens_arr)
+
+
+def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
+    """TPU path over per-read objects (calibration/detection consumers)."""
+    eng = get_engine(mb, "tpu")
+    B = len(reads)
+    if not B:
+        return None
+    sub = matchstart != -1 or matchend != -1
+    lens = np.fromiter(
+        ((matchend - matchstart) if sub else r.len for r in reads),
+        dtype=np.int32, count=B,
+    )
+    Lmax = int(lens.max(initial=1))
+    seqs = np.zeros((B, Lmax), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        if sub:
+            s = r.seq[matchstart:matchend]
+            seqs[i, : s.shape[0]] = s
+        else:
+            seqs[i, : r.len] = r.seq
+    seqs, lens_arr = _pad_tpu_batch(seqs, lens)
+    res = score_arrays_tpu(eng, seqs, lens_arr, want_labels)
     for i, r in enumerate(reads):
         r.mapq = float(res.mapq[i])
         if res.labels is not None:
@@ -300,6 +320,233 @@ def _apply_filters(reads: List[Read], param, contaminants) -> None:
         SL = 16384
         for s in range(0, len(reads), SL):
             dust_reads(reads[s : s + SL], param.dust)
+
+
+def _score_batch_columnar(mb, batch, matchstart, matchend, engine_kind):
+    """Score a columnar ReadBatch; fills batch.mapq and returns the
+    [B, Lpad+1] label matrix (engine-native dtype)."""
+    from ..io.batch import padded_matrix
+
+    B = batch.B
+    full_lens = batch.lens
+    sub = matchstart != -1 or matchend != -1
+    if engine_kind == "tpu":
+        eng = get_engine(mb, "tpu")
+        if sub:
+            dec = np.full(B, matchend - matchstart, dtype=np.int64)
+            w = np.clip(np.minimum(full_lens, matchend) - matchstart, 0, None)
+            off = batch.seq_off[:-1] + matchstart
+            Lmax = int(dec.max(initial=1))
+            pos = np.arange(Lmax, dtype=np.int64)[None, :]
+            cap = max(batch.seq_arena.shape[0] - 1, 0)
+            seqs = batch.seq_arena[np.minimum(off[:, None] + pos, cap)].copy()
+            seqs[pos >= w[:, None]] = 0
+            lens = dec.astype(np.int32)
+        else:
+            Lmax = int(full_lens.max(initial=1))
+            seqs = padded_matrix(
+                batch.seq_arena, batch.seq_off, full_lens, Lmax, 0
+            )
+            lens = full_lens.astype(np.int32)
+        seqs, lens_arr = _pad_tpu_batch(seqs, lens)
+        res = score_arrays_tpu(eng, seqs, lens_arr, want_labels=True)
+        batch.mapq[:] = res.mapq[:B].astype(np.float64)
+        return res.labels[:B]
+
+    # exact engine: length-bucketed batches gathered from the arena
+    eng = get_engine(mb, "exact")
+    dec_lens = (
+        np.full(B, matchend - matchstart, dtype=np.int64) if sub else full_lens
+    )
+    Lmax = int(dec_lens.max(initial=0))
+    labels_out = np.zeros((B, Lmax + 1), dtype=np.int32)
+    cap = max(batch.seq_arena.shape[0] - 1, 0)
+    order = np.argsort(dec_lens, kind="stable")
+    uls, starts = np.unique(dec_lens[order], return_index=True)
+    bounds = list(starts) + [B]
+    for k, L in enumerate(uls):
+        idxs = order[bounds[k] : bounds[k + 1]]
+        L = int(L)
+        if L <= 0:
+            batch.mapq[idxs] = float("nan")
+            continue
+        # [Bb, L+1] window incl. the position after the subsequence
+        # (terminator or next char), as read by the backward pass
+        base = batch.seq_off[:-1][idxs] + (matchstart if sub else 0)
+        if sub:
+            vlen = np.clip(
+                np.minimum(full_lens[idxs], matchend + 1) - matchstart, 0, None
+            )
+        else:
+            vlen = full_lens[idxs]
+        pos = np.arange(L + 1, dtype=np.int64)[None, :]
+        seqs_b = batch.seq_arena[
+            np.minimum(base[:, None] + pos, cap)
+        ].copy()
+        seqs_b[pos >= vlen[:, None]] = 0
+        res = eng.run_batch(seqs_b, L)
+        q = compute_q(res.f_score, res.r_score, res.bar_prob)
+        batch.mapq[idxs] = q.astype(np.float64)
+        labels_out[idxs, : L + 1] = res.labels
+    return labels_out
+
+
+def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
+    """Pipelined TPU labeling: score in fixed windows with up to DEPTH
+    dispatches in flight, extracting window k on the host while the device
+    computes k+1..k+DEPTH (the host<->device analogue of the reference's
+    popen decompression overlap, io.c:459-606).  Returns False when the
+    streaming preconditions don't hold (mesh engaged, Pallas off, tiny
+    batch) — the caller falls back to the one-shot path."""
+    from collections import deque
+
+    from ..extract import extract_batch_columnar
+    from ..io.batch import padded_matrix
+
+    B = batch.B
+    matchstart, matchend = param.matchstart, param.matchend
+    sub = matchstart != -1 or matchend != -1
+    eng = get_engine(mb, "tpu")
+    full_lens = batch.lens
+    Lmax = int(
+        (matchend - matchstart) if sub else int(full_lens.max(initial=1))
+    )
+    Lpad = max(((Lmax + 31) // 32) * 32, 32)
+    if os.environ.get("TAGDUST_TPU_PALLAS", "1") != "1" or Lpad > 4096:
+        return False
+    use_pallas = True
+    if _mesh_scorer(eng, use_pallas, B) is not None:
+        return False  # multi-device: the sharded path handles fan-out
+    DEPTH = int(os.environ.get("TAGDUST_TPU_PIPELINE_DEPTH", "3"))
+    per_read = eng.pallas_stack_bytes_per_read(Lpad)
+    W = eng._PALLAS_STACK_BYTES // max(DEPTH, 1) // per_read
+    W = int(min(max(W // 256 * 256, 256), 16384))
+    if B <= W:
+        return False  # single window: no overlap to win
+
+    cap = max(batch.seq_arena.shape[0] - 1, 0)
+
+    def _window(s: int, e: int):
+        n = e - s
+        Wp = (n + 255) // 256 * 256
+        lens_w = np.ones(Wp, dtype=np.int32)
+        if sub:
+            off = batch.seq_off[s:e] + matchstart
+            w = np.clip(
+                np.minimum(full_lens[s:e], matchend) - matchstart, 0, None
+            )
+            pos = np.arange(Lpad, dtype=np.int64)[None, :]
+            seqs = batch.seq_arena[
+                np.minimum(off[:, None] + pos, cap)
+            ].copy()
+            seqs[pos >= w[:, None]] = 0
+            lens_w[:n] = matchend - matchstart
+        else:
+            seqs = padded_matrix(
+                batch.seq_arena, batch.seq_off[s : e + 1], full_lens[s:e],
+                Lpad, 0,
+            )
+            lens_w[:n] = full_lens[s:e]
+        if Wp > n:
+            seqs = np.concatenate(
+                [seqs, np.broadcast_to(seqs[:1], (Wp - n, Lpad))], axis=0
+            )
+            lens_w[n:] = lens_w[0]
+        return seqs, lens_w
+
+    inflight: deque = deque()
+    consumed = [0]
+
+    def _consume():
+        s, e, out = inflight.popleft()
+        consumed[0] += 1
+        res = eng.collect_pallas(out, e - s)
+        win = batch.slice(s, e)
+        win.mapq[:] = res.mapq.astype(np.float64)
+        extract_batch_columnar(
+            mb, rs, win, res.labels, param.minlen, confidence_threshold,
+            matchstart, matchend,
+        )
+        if win.fp_big:
+            batch.fp_big.update({s + k: v for k, v in win.fp_big.items()})
+            batch.fingerprint[s:e][list(win.fp_big)] = -2
+
+    try:
+        for s in range(0, B, W):
+            e = min(s + W, B)
+            seqs, lens_w = _window(s, e)
+            inflight.append((s, e, eng.dispatch_pallas(seqs, lens_w)))
+            if len(inflight) >= DEPTH:
+                _consume()
+        while inflight:
+            _consume()
+    except Exception as e:  # noqa: BLE001 — loud downgrade, strict re-raise
+        if consumed[0]:
+            # windows already extracted have scattered spacers into the
+            # arenas; a silent re-score would read mutated sequences
+            raise
+        fallback(
+            "tpu-streaming",
+            e,
+            "pipelined device labeling failed; falling back to one-shot "
+            "scoring for this chunk",
+        )
+        return False
+    return True
+
+
+def run_get_label_batch(
+    mb: ModelBag,
+    rs,
+    batch,
+    param,
+    confidence_threshold: float,
+    contaminants=None,
+) -> None:
+    """MODE_GET_LABEL over a columnar ReadBatch (the production hot path)."""
+    from ..extract import extract_batch_columnar
+    from ..filters import dust_batch_columnar, match_to_reference_columnar
+
+    kind = "tpu" if getattr(param, "engine", "auto") == "tpu" else "exact"
+    if kind == "tpu" and _label_tpu_streaming(
+        mb, rs, batch, param, confidence_threshold
+    ):
+        labels_mat = None
+    else:
+        labels_mat = _score_batch_columnar(
+            mb, batch, param.matchstart, param.matchend, kind
+        )
+        extract_batch_columnar(
+            mb,
+            rs,
+            batch,
+            labels_mat,
+            param.minlen,
+            confidence_threshold,
+            param.matchstart,
+            param.matchend,
+        )
+    if contaminants is not None:
+        match_to_reference_columnar(
+            batch, contaminants, param.filter_error,
+            device=getattr(param, "engine", "auto") == "tpu",
+        )
+    if param.dust:
+        dust_batch_columnar(batch, param.dust)
+
+
+def run_rna_dust_batch(batch, param, contaminants=None) -> None:
+    """Pure R:N architectures over a columnar ReadBatch."""
+    from ..filters import dust_batch_columnar, match_to_reference_columnar
+
+    batch.read_type[:] = EXTRACT_SUCCESS
+    if contaminants is not None:
+        match_to_reference_columnar(
+            batch, contaminants, param.filter_error,
+            device=getattr(param, "engine", "auto") == "tpu",
+        )
+    if param.dust:
+        dust_batch_columnar(batch, param.dust)
 
 
 def run_get_prob(

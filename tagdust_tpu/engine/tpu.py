@@ -349,6 +349,40 @@ class TpuEngine:
     # long reads are scored in sub-batches that keep the stack bounded.
     _PALLAS_STACK_BYTES = 2 << 30
 
+    def pallas_stack_bytes_per_read(self, Lp: int) -> int:
+        dec = self._grouped_decomposition()
+        if dec is not None:
+            Sp = 128 * len(dec["spans"])
+        else:
+            Sp = (self.lat.S + 127) // 128 * 128
+        return (Lp + 1) * (Sp + 128) * 4
+
+    def dispatch_pallas(self, seqs: np.ndarray, lens: np.ndarray):
+        """Asynchronously dispatch one fused-pipeline batch; returns the
+        raw jax output tuple (f_log, r_log, bar_log, labels, mapq) WITHOUT
+        blocking — callers overlap host work (extraction of the previous
+        window) with device compute and the result transfer."""
+        B, Lp = seqs.shape
+        fullfn, _, BT = self._get_pallas(Lp)
+        if B % BT:
+            raise ValueError(f"batch {B} not a multiple of the tile {BT}")
+        return fullfn(
+            jnp.asarray(seqs.astype(np.uint8)),
+            jnp.asarray(lens.astype(np.int32)),
+        )
+
+    @staticmethod
+    def collect_pallas(out, n: int, want_labels: bool = True) -> TpuBatchResult:
+        """Block on one dispatched window and convert to host arrays."""
+        f_log, r_log, bar_log, labels, mapq = out
+        return TpuBatchResult(
+            f_score=np.asarray(f_log)[:n],
+            r_score=np.asarray(r_log)[:n],
+            bar_prob=np.asarray(bar_log)[:n],
+            labels=np.asarray(labels)[:n] if want_labels else None,
+            mapq=np.asarray(mapq)[:n],
+        )
+
     def run_batch_pallas(
         self, seqs: np.ndarray, lens: np.ndarray, want_labels: bool = True
     ) -> TpuBatchResult:

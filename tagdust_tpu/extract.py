@@ -174,17 +174,58 @@ def extract_batch(
     matchstart: int = -1,
     matchend: int = -1,
 ) -> None:
-    """Vectorised extract_reads (barcode_hmm.c:3172-3356) over a whole chunk.
+    """Per-read-object adapter over :func:`extract_batch_columnar`.
 
     Same observable behaviour as calling :func:`extract_read` per read (the
-    equality is asserted by tests), but all per-base work is NumPy array ops
-    over the ``[B, L]`` label matrix — this is the production path that keeps
-    the host side out of per-base Python loops.
+    equality is asserted by tests).  The real implementation is columnar;
+    this wrapper converts, runs it, and copies results (and the rewritten
+    seq/qual of successful reads) back onto the ``Read`` objects.
+    """
+    from .io.batch import ReadBatch
 
-    ``labels`` is the ``[B, Lpad+1]`` int32 matrix from the batched engines
+    B = len(reads)
+    if B == 0:
+        return
+    batch = ReadBatch.from_reads(reads)
+    batch.mapq = np.fromiter((r.mapq for r in reads), dtype=np.float64, count=B)
+    extract_batch_columnar(
+        mb, rs, batch, labels, minlen, confidence_threshold,
+        matchstart, matchend,
+    )
+    for i, r in enumerate(reads):
+        r.read_type = int(batch.read_type[i])
+        if batch.read_type[i] == EXTRACT_SUCCESS:
+            r.seq = batch.seq(i).copy()
+            r.qual = batch.qual(i)
+            if batch.barcode[i] != -1:
+                r.barcode = int(batch.barcode[i])
+            if batch.fingerprint[i] != -1 or i in batch.fp_big:
+                r.fingerprint = batch.fp_value(i)
+
+
+def extract_batch_columnar(
+    mb: ModelBag,
+    rs,
+    batch,
+    labels: np.ndarray,
+    minlen: int,
+    confidence_threshold: float,
+    matchstart: int = -1,
+    matchend: int = -1,
+) -> None:
+    """Vectorised extract_reads (barcode_hmm.c:3172-3356) over a whole chunk.
+
+    All per-base work is NumPy array ops over the ``[B, L]`` label matrix and
+    the batch's flat arenas — the production path that keeps the host side
+    out of per-base Python loops.  Successful reads are rewritten IN PLACE in
+    the batch's seq/qual arenas (non-R bases -> 65-spacer), and the result
+    columns (``read_type``, ``barcode``, ``fingerprint``, ``mapq``-gated
+    outcomes) are filled.
+
+    ``labels`` is the ``[B, Lpad+1]`` int matrix from the batched engines
     (slot 0 = pre-read slot).
     """
-    B = len(reads)
+    B = batch.B
     if B == 0:
         return
     offset = 0
@@ -192,17 +233,16 @@ def extract_batch(
     if sub:
         offset = matchstart
 
-    full_lens = np.fromiter((r.len for r in reads), dtype=np.int64, count=B)
+    full_lens = batch.lens
+    seq_off = batch.seq_off[:-1]
+    arena = batch.seq_arena
+    cap = max(arena.shape[0] - 1, 0)
     dec_lens = (
         np.full(B, matchend - matchstart, dtype=np.int64) if sub else full_lens
     )
     Lfull = int(full_lens.max(initial=0))
     Ldec = max(int(dec_lens.max(initial=0)), 1)  # keep [B, Ldec] ops non-empty
     Lpad1 = labels.shape[1]
-
-    seq = np.zeros((B, Lfull), dtype=np.uint8)
-    for i, r in enumerate(reads):
-        seq[i, : r.len] = r.seq
 
     required_finger_len = 0
     for j in range(rs.num_segments):
@@ -240,7 +280,7 @@ def extract_batch(
     tB = is_B_label[lab_dec] & valid
     tR = is_R_label[lab_dec] & valid
 
-    mapq = np.fromiter((r.mapq for r in reads), dtype=np.float64, count=B)
+    mapq = np.asarray(batch.mapq, dtype=np.float64)
     passed = confidence_threshold <= mapq  # NaN -> False -> mismatch
 
     fingerlen = tF.sum(axis=1, dtype=np.int32)
@@ -273,21 +313,42 @@ def extract_batch(
     run_end = tR & ~nxt  # covers both interior ends and the final position
     too_short = (run_end & (runlen < minlen)).any(axis=1)
 
-    # --- fingerprint keys (tiny: only F positions, Python ints like the
-    # per-read path so >31nt UMIs keep full precision) ---
-    key = [0] * B
+    # --- fingerprint keys: 2-bit packed F bases in read order ---
+    key_arr = np.zeros(B, dtype=np.int64)
+    fp_big: dict = {}
     if required_finger_len and Ldec:
-        fi, fj = np.nonzero(tF)
+        fi, fj = np.nonzero(tF)  # row-major: in-read order within each row
         # F positions past the read's real length contribute 0 bits (same
         # defined semantics as extract_read; the C code is out-of-bounds)
         idx = fj + offset
         in_bounds = idx < full_lens[fi]
         basebits = np.where(
-            in_bounds, seq[fi, np.minimum(idx, Lfull - 1)] & 0x3, 0
-        ).astype(int)
-        for n in range(fi.shape[0]):
-            i = int(fi[n])
-            key[i] = (key[i] << 2) | int(basebits[n])
+            in_bounds,
+            arena[np.minimum(seq_off[fi] + idx, cap)] & 0x3,
+            0,
+        ).astype(np.int64)
+        nF = fi.shape[0]
+        if nF:
+            counts = fingerlen.astype(np.int64)
+            starts_all = np.zeros(B, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts_all[1:])
+            if required_finger_len <= 27:
+                # (key << 8) | len fits an int64 exactly up to 27 F bases
+                pos_in_row = np.arange(nF, dtype=np.int64) - starts_all[fi]
+                shift = 2 * (counts[fi] - 1 - pos_in_row)
+                contrib = basebits << shift
+                rows_nz = np.nonzero(counts > 0)[0]
+                key_arr[rows_nz] = np.add.reduceat(
+                    contrib, starts_all[rows_nz]
+                )
+            else:
+                # huge UMIs: exact Python ints (the per-read path's
+                # semantics; the reference C int overflows here)
+                pyk: dict = {}
+                for n in range(nF):
+                    i = int(fi[n])
+                    pyk[i] = (pyk.get(i, 0) << 2) | int(basebits[n])
+                fp_big = pyk
 
     # --- outcome decision tree (extract_reads, barcode_hmm.c:3203-3304) ---
     finger_ok = fingerlen == required_finger_len
@@ -316,29 +377,42 @@ def extract_batch(
 
     # --- make_extracted_read over the FULL read length (labels index is NOT
     # offset by matchstart; beyond the label buffer reads as 0 — reference
-    # quirks preserved, barcode_hmm.c:3325-3356) ---
+    # quirks preserved, barcode_hmm.c:3325-3356).  The rewrite scatters
+    # 65-spacers into the batch's seq/qual arenas in place, successful rows
+    # only ---
     lab_full = np.zeros((B, Lfull), dtype=np.int32)
     wf = min(Lfull, Lpad1 - 1)
     lab_full[:, :wf] = labels[:, 1 : wf + 1]
     r_full = is_R_label[lab_full]
-    new_seq = np.where(r_full, seq, np.uint8(SPACER))
+    posf = np.arange(Lfull, dtype=np.int64)[None, :]
+    validf = posf < full_lens[:, None]
+    blank = (~r_full) & validf & success[:, None]
+    bi, bj = np.nonzero(blank)
+    arena[seq_off[bi] + bj] = SPACER
+    if batch.qual_len.shape[0]:
+        has_q = batch.qual_len >= 0
+        qmask = blank & has_q[:, None]
+        qi, qj = np.nonzero(qmask)
+        batch.qual_arena[batch.qual_off[qi] + qj] = SPACER
 
+    batch.read_type[:] = read_type
     set_bar = success & (hmm_has_barcode == 1)
-    set_fp = success & (required_finger_len > 0)
-    fp_len = min(required_finger_len, 255)
-    for i, r in enumerate(reads):
-        r.read_type = int(read_type[i])
-        if success[i]:
-            L = r.len
-            r.seq = new_seq[i, :L].copy()
-            if r.qual is not None:
-                q = np.frombuffer(r.qual.encode("latin-1"), dtype=np.uint8).copy()
-                q[~r_full[i, :L]] = SPACER
-                r.qual = q.tobytes().decode("latin-1")
-            if set_bar[i]:
-                r.barcode = (int(mem[i]) << 16) | int(bar[i])
-            if set_fp[i]:
-                r.fingerprint = (key[i] << 8) | fp_len
+    batch.barcode[set_bar] = (
+        (mem[set_bar].astype(np.int64) << 16) | bar[set_bar]
+    )
+    if required_finger_len:
+        set_fp = success & np.ones(B, dtype=bool)
+        fp_len = min(required_finger_len, 255)
+        if fp_big:
+            batch.fp_big = {
+                i: (fp_big.get(i, 0) << 8) | fp_len
+                for i in range(B)
+                if set_fp[i]
+            }
+            # keep the array sentinel distinct so fp_value() consults fp_big
+            batch.fingerprint[set_fp] = -2
+        else:
+            batch.fingerprint[set_fp] = (key_arr[set_fp] << 8) | fp_len
 
 
 def _make_extracted(mb: ModelBag, rs, read: Read, labels: np.ndarray) -> None:

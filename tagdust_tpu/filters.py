@@ -56,13 +56,6 @@ def dust_score(seq: np.ndarray, length: int) -> float:
 
 
 def dust_scores_batch(reads: List[Read]) -> np.ndarray:
-    """Vectorised dust_score over a chunk (same quirks: the denominator
-    counts the leading-spacer prefix, triplets stop at the first interior
-    spacer and at 64 nt).
-
-    The pair count Σ c(c-1)/2 is computed by sorting each read's counted
-    triplet keys and summing within-run prefix indices — small uint8/int16
-    buffers only (no [B*64] histogram)."""
     B = len(reads)
     W = 64
     arr = np.full((B, W), SPACER, dtype=np.uint8)
@@ -71,6 +64,19 @@ def dust_scores_batch(reads: List[Read]) -> np.ndarray:
         L = min(r.len, W)
         lens[i] = r.len
         arr[i, :L] = r.seq[:L]
+    return _dust_scores_core(arr, lens)
+
+
+def _dust_scores_core(arr: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorised dust_score over a chunk (same quirks: the denominator
+    counts the leading-spacer prefix, triplets stop at the first interior
+    spacer and at 64 nt).
+
+    ``arr`` is the [B, 64] first-window matrix (SPACER-padded), ``lens`` the
+    FULL read lengths.  The pair count Σ c(c-1)/2 is computed by sorting
+    each read's counted triplet keys and summing within-run prefix indices —
+    small uint8/int16 buffers only (no [B*64] histogram)."""
+    B, W = arr.shape
     ln = np.minimum(lens, W).astype(np.int16)
     pos = np.arange(W, dtype=np.int16)[None, :]
     is_sp = (arr == SPACER) | (pos >= ln[:, None])
@@ -118,6 +124,83 @@ def dust_reads(reads: List[Read], dust_cut: int) -> None:
     for i, r in enumerate(reads):
         if scores[i] > dust_cut:
             r.read_type = EXTRACT_FAIL_LOW_COMPLEXITY
+
+
+def dust_batch_columnar(batch, dust_cut: int) -> None:
+    """Columnar dust_reads: [B, 64] window gathered from the seq arena."""
+    from .io.batch import padded_matrix
+
+    lens = batch.lens
+    arr = padded_matrix(batch.seq_arena, batch.seq_off, lens, 64, SPACER)
+    scores = _dust_scores_core(arr, lens.astype(np.int32))
+    with np.errstate(invalid="ignore"):
+        batch.read_type[scores > dust_cut] = EXTRACT_FAIL_LOW_COMPLEXITY
+
+
+def match_to_reference_columnar(
+    batch, contaminant_seqs: List[np.ndarray], error_cut: int,
+    device: bool = False,
+) -> None:
+    """Columnar match_to_reference: patterns gathered from the seq arena."""
+    B = batch.B
+    if B == 0 or not contaminant_seqs:
+        return
+    W = 63
+    full = batch.lens
+    lens = np.minimum(full, W).astype(np.int32)
+    arena = batch.seq_arena
+    cap = max(arena.shape[0] - 1, 0)
+    off = batch.seq_off[:-1]
+    pos = np.arange(W, dtype=np.int64)[None, :]
+    valid = pos < lens[:, None]
+    fwd = arena[np.minimum(off[:, None] + pos, cap)].copy()
+    fwd[~valid] = SPACER
+    # reverse_complement of the FULL read, then first 63 symbols
+    # (misc.c:829-853; spacers preserved)
+    ridx = off[:, None] + (full[:, None] - 1 - pos)
+    rv = arena[np.minimum(np.maximum(ridx, 0), cap)]
+    rev = np.where(rv >= 5, SPACER, REV_NUC_CODE[np.minimum(rv, 4)]).astype(
+        np.uint8
+    )
+    rev[~valid] = SPACER
+    hit, best_id = _reference_hits(fwd, rev, lens, contaminant_seqs,
+                                   error_cut, device)
+    mark = hit & (batch.read_type == EXTRACT_SUCCESS)
+    batch.read_type[mark] = (
+        (best_id[mark] << 8) | EXTRACT_FAIL_MATCHES_ARTIFACTS
+    )
+
+
+def _reference_hits(fwd, rev, lens, contaminant_seqs, error_cut, device):
+    """Shared core: best Myers distance over contaminants x orientations."""
+    kernel = _bpm_batch
+    if device:
+        try:
+            from .engine.myers_tpu import bpm_batch_device
+
+            kernel = bpm_batch_device
+        except Exception as e:  # noqa: BLE001 — loud downgrade, strict re-raise
+            from .strict import fallback
+
+            fallback(
+                "myers-device",
+                e,
+                "device Myers kernel unavailable; artifact filter runs on "
+                "host uint64 lanes",
+            )
+            kernel = _bpm_batch
+    B = fwd.shape[0]
+    B4f = _pattern_masks(fwd, lens)
+    B4r = _pattern_masks(rev, lens)
+    best = np.full(B, 100000, dtype=np.int64)
+    best_id = np.zeros(B, dtype=np.int64)
+    for j, ref in enumerate(contaminant_seqs):
+        for B4 in (B4f, B4r):
+            d = kernel(ref, B4, lens)
+            better = d < best
+            best = np.where(better, d, best)
+            best_id = np.where(better, j + 1, best_id)
+    return (best <= error_cut) & (lens > 0), best_id
 
 
 def bpm_check_error(text: np.ndarray, pattern: np.ndarray, n: int, m: int) -> int:
@@ -249,22 +332,6 @@ def match_to_reference(
     B = len(reads)
     if B == 0 or not contaminant_seqs:
         return
-    kernel = _bpm_batch
-    if device:
-        try:
-            from .engine.myers_tpu import bpm_batch_device
-
-            kernel = bpm_batch_device
-        except Exception as e:  # noqa: BLE001 — loud downgrade, strict re-raise
-            from .strict import fallback
-
-            fallback(
-                "myers-device",
-                e,
-                "device Myers kernel unavailable; artifact filter runs on "
-                "host uint64 lanes",
-            )
-            kernel = _bpm_batch
     W = 63
     lens = np.zeros(B, dtype=np.int32)
     fwd = np.full((B, W), SPACER, dtype=np.uint8)
@@ -280,17 +347,8 @@ def match_to_reference(
             rseq >= 5, SPACER, REV_NUC_CODE[np.minimum(rseq, 4)]
         )
         rev[i, : lens[i]] = rc[:W].astype(np.uint8)[: lens[i]]
-    B4f = _pattern_masks(fwd, lens)
-    B4r = _pattern_masks(rev, lens)
-    best = np.full(B, 100000, dtype=np.int64)
-    best_id = np.zeros(B, dtype=np.int64)
-    for j, ref in enumerate(contaminant_seqs):
-        for B4 in (B4f, B4r):
-            d = kernel(ref, B4, lens)
-            better = d < best
-            best = np.where(better, d, best)
-            best_id = np.where(better, j + 1, best_id)
-    hit = (best <= error_cut) & (lens > 0)
+    hit, best_id = _reference_hits(fwd, rev, lens, contaminant_seqs,
+                                   error_cut, device)
     for i, r in enumerate(reads):
         if hit[i] and r.read_type == EXTRACT_SUCCESS:
             r.read_type = (int(best_id[i]) << 8) | EXTRACT_FAIL_MATCHES_ARTIFACTS

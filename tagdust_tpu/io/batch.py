@@ -185,7 +185,8 @@ class ReadBatch:
             out=rb.qual_off[1:] if B > 1 else np.zeros(0, np.int64),
         )
         rb.qual_arena = np.frombuffer(
-            b"".join(q for q in quals if q is not None), dtype=np.uint8
+            bytearray(b"".join(q for q in quals if q is not None)),
+            dtype=np.uint8,
         )
         rb.init_results()
         # carry over any preset result fields (e.g. SAM mapq column)
@@ -218,3 +219,23 @@ class ReadBatch:
         if i in self.fp_big:
             return self.fp_big[i]
         return int(self.fingerprint[i])
+
+    def slice(self, s: int, e: int) -> "ReadBatch":
+        """Zero-copy window [s, e): arenas shared, offsets/result columns are
+        views — writes through the window (extraction scatter, result fills)
+        land in the parent.  ``fp_big`` is NOT shared; callers merge it back
+        with the window offset."""
+        rb = ReadBatch()
+        rb.name_arena = self.name_arena
+        rb.name_off = self.name_off[s : e + 1]
+        rb.seq_arena = self.seq_arena
+        rb.seq_off = self.seq_off[s : e + 1]
+        rb.qual_arena = self.qual_arena
+        rb.qual_off = self.qual_off[s:e]
+        rb.qual_len = self.qual_len[s:e]
+        rb.mapq = self.mapq[s:e]
+        rb.read_type = self.read_type[s:e]
+        rb.barcode = self.barcode[s:e]
+        rb.fingerprint = self.fingerprint[s:e]
+        rb.fp_big = {}
+        return rb

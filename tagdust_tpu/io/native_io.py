@@ -32,6 +32,7 @@ def get_lib():
         )
     lib = ctypes.CDLL(_SO)
     lib.td_parse_fastq2.restype = ctypes.c_long
+    lib.td_emit_runs.restype = ctypes.c_long
     _lib = lib
     return lib
 

@@ -130,6 +130,79 @@ class DemuxWriter:
                 names.append(f"{outfile}_un.fq")
         self.files = [open(n, "wb") for n in names]
 
+    def write_batch_columnar(self, batches, numseq: int) -> None:
+        """print_all over columnar ReadBatches (the production hot path).
+
+        Routing/formatting matches :meth:`write_batch` byte for byte (gold
+        tests pin it); the per-run emit loop runs in the native codec
+        (``td_emit_runs``) writing straight to the output fds."""
+        import ctypes
+
+        from ..constants import EXTRACT_SUCCESS as _OK
+        from .native_io import get_lib
+
+        b0 = batches[0]
+        assert b0.B == numseq, (b0.B, numseq)
+        if any(b.fp_big for b in batches):
+            # >27nt UMI keys exceed the int64 column: rare exact-precision
+            # path through the per-read writer
+            self.write_batch([b.to_reads() for b in batches], numseq)
+            return
+        n_alt = self.num_alternatives
+        ok = b0.read_type == _OK
+        base_f = np.where(
+            ok,
+            np.where(b0.barcode != -1, b0.barcode & 0xFF, 0),
+            n_alt - 1,
+        ).astype(np.int64)
+        lib = get_lib()
+        fds = np.array([f.fileno() for f in self.files], dtype=np.int32)
+        for f in self.files:
+            f.flush()
+        c = 0
+        i64p = ctypes.POINTER(ctypes.c_long)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        for j in range(len(self.read_present)):
+            if not self.read_present[j]:
+                c += n_alt * self.read_present[j]
+                continue
+            b = batches[j]
+            arrs = {
+                "na": np.ascontiguousarray(b.name_arena),
+                "no": np.ascontiguousarray(b.name_off),
+                "sa": np.ascontiguousarray(b.seq_arena),
+                "so": np.ascontiguousarray(b.seq_off),
+                "qa": np.ascontiguousarray(b.qual_arena),
+                "qo": np.ascontiguousarray(b.qual_off),
+                "ql": np.ascontiguousarray(b.qual_len),
+                "mq": np.ascontiguousarray(b.mapq, dtype=np.float64),
+                "fp": np.ascontiguousarray(b.fingerprint, dtype=np.int64),
+                "fb": np.ascontiguousarray(base_f + c),
+            }
+            rc = lib.td_emit_runs(
+                arrs["na"].ctypes.data_as(u8p),
+                arrs["no"].ctypes.data_as(i64p),
+                arrs["sa"].ctypes.data_as(u8p),
+                arrs["so"].ctypes.data_as(i64p),
+                arrs["qa"].ctypes.data_as(u8p),
+                arrs["qo"].ctypes.data_as(i64p),
+                arrs["ql"].ctypes.data_as(i64p),
+                arrs["mq"].ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                arrs["fp"].ctypes.data_as(i64p),
+                ctypes.c_int(1 if self.print_seq_finger else 0),
+                arrs["fb"].ctypes.data_as(i64p),
+                ctypes.c_long(numseq),
+                ctypes.c_long(n_alt),
+                fds.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                ctypes.c_long(len(self.files)),
+            )
+            if rc != 0:
+                raise OSError(
+                    f"tagdust writer: native emit failed (rc={rc}) — "
+                    "output device error (disk full / broken pipe?)"
+                )
+            c += n_alt * self.read_present[j]
+
     def write_batch(self, read_info_container, numseq: int) -> None:
         """read_info_container[file][i] like the reference; routing uses
         file 0's merged read_type/barcode (io.c:923-1001).

@@ -98,6 +98,30 @@ class ModelBag:
     def num_models(self) -> int:
         return len(self.models)
 
+    def digest(self) -> str:
+        """Content hash over every parameter tensor: two ModelBags with equal
+        digests compile to identical engines, so compiled engines (and their
+        jitted device programs) are shared across controller invocations in
+        one process instead of being rebuilt per run."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for m in self.models:
+            h.update(m.type.encode())
+            for s in m.seqs:
+                h.update(s.encode() + b"\0")
+            for arr in (m.trans, m.m_emit, m.i_emit, m.silent_to_M,
+                        m.silent_to_I, m.background):
+                h.update(np.ascontiguousarray(arr).tobytes())
+            h.update(np.float32(m.skip).tobytes())
+        h.update(np.ascontiguousarray(self.label).tobytes())
+        h.update(np.ascontiguousarray(self.tmatrix).tobytes())
+        h.update(
+            f"{self.total_hmm_num}:{self.average_raw_length}:"
+            f"{self.current_dyn_length}:{float(self.model_multiplier)}".encode()
+        )
+        return h.hexdigest()
+
 
 def set_hmm_transition_parameters(
     trans: np.ndarray,

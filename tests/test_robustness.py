@@ -65,7 +65,9 @@ def test_writer_failure_raises_not_hangs(tmp_path, monkeypatch):
         calls["n"] += 1
         raise OSError(28, "No space left on device")
 
-    monkeypatch.setattr(writer_mod.DemuxWriter, "write_batch", failing_write_batch)
+    monkeypatch.setattr(
+        writer_mod.DemuxWriter, "write_batch_columnar", failing_write_batch
+    )
 
     param = parse_args(
         [fq, "-o", os.path.join(str(tmp_path), "out"), "-Q", "10", "-rtest"]
