@@ -13,6 +13,7 @@ and the end-of-run outcome accounting / human-readable summary
 
 from __future__ import annotations
 
+import os
 import queue
 import sys
 import threading
@@ -127,6 +128,14 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
                 raise SystemExit("Error: some output files already exists.\n")
 
     param.num_query = 1000 if param.rtest else 1000001
+    # streaming chunk size: the reference reads 1,000,001-read batches
+    # (barcode_hmm.c:165-175); output bytes are chunk-size invariant (the
+    # writer appends per chunk), so production uses smaller chunks to
+    # overlap reader/score/writer stages.  RTEST keeps the reference's
+    # 1000-read batches for determinism parity; stats keeps num_query.
+    read_chunk = param.num_query
+    if not param.rtest:
+        read_chunk = int(os.environ.get("TAGDUST_TPU_CHUNK", "262144"))
 
     stats = []
     for i in range(nfiles):
@@ -202,8 +211,8 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
     # Order is preserved (single FIFO per stage); consistency checks,
     # scoring, extraction and counter accounting stay on the main thread.
     # ------------------------------------------------------------------
-    chunk_q: queue.Queue = queue.Queue(maxsize=1)
-    write_q: queue.Queue = queue.Queue(maxsize=1)
+    chunk_q: queue.Queue = queue.Queue(maxsize=2)
+    write_q: queue.Queue = queue.Queue(maxsize=2)
     stop = threading.Event()
     writer_err: List[BaseException] = []
 
@@ -211,7 +220,7 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         try:
             while not stop.is_set():
                 chunks = [
-                    readers[i].read_chunk_batch(param.num_query)
+                    readers[i].read_chunk_batch(read_chunk)
                     for i in range(nfiles)
                 ]
                 chunk_q.put(chunks)

@@ -454,13 +454,15 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
             lens_w[n:] = lens_w[0]
         return seqs, lens_w
 
-    inflight: deque = deque()
+    import jax
+
+    inflight: deque = deque()  # dispatched, compute possibly running
+    ready: deque = deque()  # compute done, device->host copy in flight
     consumed = [0]
 
-    def _consume():
-        s, e, out = inflight.popleft()
+    def _extract(s, e, out):
         consumed[0] += 1
-        res = eng.collect_pallas(out, e - s)
+        res = eng.collect_pallas(out, e - s, Lpad)
         win = batch.slice(s, e)
         win.mapq[:] = res.mapq.astype(np.float64)
         extract_batch_columnar(
@@ -471,15 +473,33 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
             batch.fp_big.update({s + k: v for k, v in win.fp_big.items()})
             batch.fingerprint[s:e][list(win.fp_big)] = -2
 
+    def _stage():
+        # two-stage consume: block on the oldest dispatch, START its
+        # device->host copy, then extract the PREVIOUS window whose copy has
+        # been in flight meanwhile — the fetch then finds the bytes already
+        # on the host (the tunnel's ~26ms/fetch round trip is hidden behind
+        # the extraction work)
+        s, e, out = inflight.popleft()
+        jax.block_until_ready(out)
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass  # fetch-on-demand still correct
+        ready.append((s, e, out))
+        if len(ready) > 1:
+            _extract(*ready.popleft())
+
     try:
         for s in range(0, B, W):
             e = min(s + W, B)
             seqs, lens_w = _window(s, e)
             inflight.append((s, e, eng.dispatch_pallas(seqs, lens_w)))
             if len(inflight) >= DEPTH:
-                _consume()
+                _stage()
         while inflight:
-            _consume()
+            _stage()
+        while ready:
+            _extract(*ready.popleft())
     except Exception as e:  # noqa: BLE001 — loud downgrade, strict re-raise
         if consumed[0]:
             # windows already extracted have scattered spacers into the

@@ -110,7 +110,10 @@ class ReadBatch:
 
     @property
     def lens(self) -> np.ndarray:
-        return np.diff(self.seq_off)
+        c = getattr(self, "_lens_cache", None)
+        if c is None or c.shape[0] != self.B:
+            c = self._lens_cache = np.diff(self.seq_off)
+        return c
 
     def init_results(self) -> None:
         B = self.B

@@ -39,7 +39,47 @@ class SequenceStats:
     max_seq_len: int = 0
 
 
+_STATS_CACHE: dict = {}
+
+
 def get_sequence_stats(
+    path: str,
+    rs: ReadStructure,
+    num_query: int,
+    matchstart: int = -1,
+    matchend: int = -1,
+    messages=None,
+    sam_filter=None,
+) -> SequenceStats:
+    # the pre-pass result depends on the read structure ONLY through the
+    # leading/trailing P-segment linkers; arch auto-detection and the
+    # controller both scan (up to 1M reads of) the same file, so cache by
+    # (file identity, window, linker signature) and hand out copies (callers
+    # mutate max_seq_len as longer reads stream in)
+    import copy as _copy
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        key = (
+            _os.path.abspath(path), st.st_mtime_ns, st.st_size, num_query,
+            matchstart, matchend, sam_filter,
+            rs.seqs[0][0] if rs.types and rs.types[0] == "P" else None,
+            rs.seqs[-1][0] if rs.types and rs.types[-1] == "P" else None,
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _STATS_CACHE:
+        return _copy.deepcopy(_STATS_CACHE[key])
+    ssi = _get_sequence_stats_uncached(
+        path, rs, num_query, matchstart, matchend, messages, sam_filter
+    )
+    if key is not None:
+        _STATS_CACHE[key] = _copy.deepcopy(ssi)
+    return ssi
+
+
+def _get_sequence_stats_uncached(
     path: str,
     rs: ReadStructure,
     num_query: int,
@@ -80,7 +120,13 @@ def get_sequence_stats(
             if mx > ssi.max_seq_len:
                 ssi.max_seq_len = mx
             sum_len += float(lens.sum())
-            bc = np.bincount(batch.seq_arena, minlength=6)
+            # slice-wise bincount: np.bincount upcasts its input to intp, so
+            # one call over a whole-chunk arena materialises an 8x temporary
+            # (1.6GB for a 1M-read chunk) — count in bounded slices instead
+            bc = np.zeros(6, dtype=np.int64)
+            arena = batch.seq_arena
+            for s in range(0, arena.shape[0], 1 << 22):
+                bc += np.bincount(arena[s : s + (1 << 22)], minlength=6)[:6]
             counts[:5] += bc[:5]
             counts[4] += bc[5]  # '.' counts as slot 5 ->
             # NOTE: reference indexes background[seq[j]] directly; codes are
