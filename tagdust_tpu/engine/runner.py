@@ -20,7 +20,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..constants import EXTRACT_SUCCESS
+from ..constants import EXTRACT_FAIL_LOW_COMPLEXITY, EXTRACT_SUCCESS
 from ..extract import compute_q, extract_batch
 from ..filters import dust_reads, match_to_reference
 from ..io.fastq import Read
@@ -421,6 +421,9 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
     per_read = eng.pallas_stack_bytes_per_read(Lpad)
     W = eng._PALLAS_STACK_BYTES // max(DEPTH, 1) // per_read
     W = int(min(max(W // 256 * 256, 256), 16384))
+    wenv = os.environ.get("TAGDUST_TPU_WINDOW")
+    if wenv:
+        W = max(int(wenv) // 256 * 256, 256)
     if B <= W:
         return False  # single window: no overlap to win
 
@@ -460,9 +463,17 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
     ready: deque = deque()  # compute done, device->host copy in flight
     consumed = [0]
 
+    dust_dev = None
+    if not sub:
+        # device DUST variants (extracted, raw); the sub-range path keeps
+        # host dust (its label-buffer quirks differ)
+        dust_dev = np.empty((B, 2), dtype=np.float32)
+
     def _extract(s, e, out):
         consumed[0] += 1
         res = eng.collect_pallas(out, e - s, Lpad)
+        if dust_dev is not None and res.dust is not None:
+            dust_dev[s:e] = res.dust
         win = batch.slice(s, e)
         win.mapq[:] = res.mapq.astype(np.float64)
         extract_batch_columnar(
@@ -512,6 +523,7 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
             "scoring for this chunk",
         )
         return False
+    batch.dust_device = dust_dev
     return True
 
 
@@ -528,6 +540,7 @@ def run_get_label_batch(
     from ..filters import dust_batch_columnar, match_to_reference_columnar
 
     kind = "tpu" if getattr(param, "engine", "auto") == "tpu" else "exact"
+    batch.dust_device = None
     if kind == "tpu" and _label_tpu_streaming(
         mb, rs, batch, param, confidence_threshold
     ):
@@ -546,13 +559,25 @@ def run_get_label_batch(
             param.matchstart,
             param.matchend,
         )
+    # extraction outcome decides which sequence the dust filter would see:
+    # extracted (spacered) for successes, raw for rejects — captured BEFORE
+    # the artifact filter rewrites read_type (seq state is unaffected by it)
+    was_success = batch.read_type == EXTRACT_SUCCESS
     if contaminants is not None:
         match_to_reference_columnar(
             batch, contaminants, param.filter_error,
             device=getattr(param, "engine", "auto") == "tpu",
         )
     if param.dust:
-        dust_batch_columnar(batch, param.dust)
+        dd = getattr(batch, "dust_device", None)
+        if dd is not None:
+            score = np.where(was_success, dd[:, 0], dd[:, 1])
+            with np.errstate(invalid="ignore"):
+                batch.read_type[score > param.dust] = (
+                    EXTRACT_FAIL_LOW_COMPLEXITY
+                )
+        else:
+            dust_batch_columnar(batch, param.dust)
 
 
 def run_rna_dust_batch(batch, param, contaminants=None) -> None:

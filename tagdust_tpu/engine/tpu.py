@@ -42,6 +42,64 @@ class TpuBatchResult:
     bar_prob: np.ndarray  # [B] log barcode probability
     labels: np.ndarray  # [B, Lpad+1] int32 label path
     mapq: np.ndarray  # [B] Q values
+    dust: Optional[np.ndarray] = None  # [B, 2] device DUST (extracted, raw)
+
+
+def dust_scores_device(seqs, labels, lens, is_r_label):
+    """Device replica of the DUST score (filters._dust_scores_core /
+    barcode_hmm.c:2424-2453) over the first-64nt window, returning BOTH
+    variants per read as [B, 2] float32:
+
+    * column 0: on the extracted sequence (non-R-labelled bases = spacers) —
+      what the filter sees for successfully extracted reads;
+    * column 1: on the raw sequence — what it sees for rejected reads.
+
+    The host picks per read by the post-extraction outcome.  Keys use the
+    same 2-bit packing as the host core (pair counts are invariant under key
+    relabeling); counts come from a one-hot [B, pos, 64] reduction XLA fuses
+    onto the MXU.
+    """
+    B, Lp = seqs.shape
+    W = 64
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    ln = jnp.minimum(lens, W).astype(jnp.int32)[:, None]
+    if Lp >= W:
+        arr = seqs[:, :W]
+        lab = labels[:, 1 : W + 1]
+    else:
+        arr = jnp.pad(seqs, ((0, 0), (0, W - Lp)))
+        lab = jnp.pad(labels, ((0, 0), (0, W - Lp)))[:, 1 : W + 1]
+    non_r = jnp.take(
+        jnp.asarray(~is_r_label), jnp.clip(lab, 0, is_r_label.shape[0] - 1)
+    )
+    beyond = pos >= ln
+    b2 = (arr & 3).astype(jnp.int32)
+    key = jnp.zeros((B, W), dtype=jnp.int32)
+    key = key.at[:, 2:].set((b2[:, 2:] << 4) | (b2[:, 1:-1] << 2) | b2[:, :-2])
+
+    def one(is_sp):
+        real = ~is_sp
+        lead = jnp.where(
+            real.any(axis=1), jnp.argmax(real, axis=1), ln[:, 0]
+        ).astype(jnp.int32)
+        degenerate = (lead + 1) >= lens
+        after = pos >= (lead + 2)[:, None]
+        sp_after = is_sp & after
+        first_sp = jnp.where(
+            sp_after.any(axis=1), jnp.argmax(sp_after, axis=1), W
+        ).astype(jnp.int32)
+        counted = after & (pos < first_sp[:, None])
+        oh = jax.nn.one_hot(jnp.where(counted, key, W + 1), W, dtype=jnp.float32)
+        c = jnp.sum(oh, axis=1)  # [B, 64]
+        s = jnp.sum(c * (c - 1.0) * 0.5, axis=1)
+        ntrip = counted.sum(axis=1).astype(jnp.float32)
+        c_final = lead.astype(jnp.float32) + 2.0 + ntrip
+        denom = jnp.where(c_final == 3.0, jnp.nan, c_final - 3.0)
+        return jnp.where(degenerate, 0.0, s / denom * 10.0)
+
+    d_ext = one(non_r | beyond)
+    d_raw = one(beyond)
+    return jnp.stack([d_ext, d_raw], axis=1)
 
 
 def _forward_backward(lat_dev, seqs, lens):
@@ -370,12 +428,18 @@ class TpuEngine:
             self._pallas_cache = {}
         if key not in self._pallas_cache:
             _, full, BT = self._get_pallas(Lp)
+            is_r = self._is_r_label()
 
             def full_packed(seqs_u8, lens):
                 f, r, b, lab, q = full(seqs_u8, lens)
+                dust = dust_scores_device(
+                    seqs_u8.astype(jnp.int32), lab.astype(jnp.int32), lens,
+                    is_r,
+                )
                 sc = jnp.stack([f, r, b, q], axis=1)  # [B, 4] f32
+                sc = jnp.concatenate([sc, dust], axis=1)  # [B, 6] f32
                 scb = jax.lax.bitcast_convert_type(sc, jnp.uint8).reshape(
-                    sc.shape[0], 16
+                    sc.shape[0], 24
                 )
                 if lab.dtype == jnp.int8:
                     labb = lab.astype(jnp.uint8)  # values are 0..H, lossless
@@ -406,6 +470,21 @@ class TpuEngine:
             jnp.asarray(lens.astype(np.int32)),
         )
 
+    def _is_r_label(self) -> np.ndarray:
+        """[n_labels+2] bool: does label index li label an R-segment base?"""
+        cached = getattr(self, "_is_r_cache", None)
+        if cached is None:
+            n_labels = int(np.asarray(self._dev["Lmap"]).shape[1])
+            out = np.zeros(n_labels + 2, dtype=bool)
+            lab_tab = np.asarray(self.mb.label, dtype=np.int64)
+            types = self.mb.rs.types if self.mb.rs is not None else []
+            for li in range(min(n_labels + 2, lab_tab.shape[0])):
+                seg = int(lab_tab[li]) & 0xFFFF
+                if seg < len(types) and types[seg] == "R":
+                    out[li] = True
+            cached = self._is_r_cache = out
+        return cached
+
     def collect_pallas(self, out, n: int, Lp: int) -> TpuBatchResult:
         """Convert one fetched packed window back to host-side arrays."""
         a = np.asarray(out)[:n]
@@ -417,13 +496,14 @@ class TpuEngine:
             if lab_bytes == 1
             else labs.view(np.int32).reshape(n, Lp + 1)
         )
-        sc = np.ascontiguousarray(a[:, lw : lw + 16]).view(np.float32)
+        sc = np.ascontiguousarray(a[:, lw : lw + 24]).view(np.float32)
         return TpuBatchResult(
             f_score=sc[:, 0],
             r_score=sc[:, 1],
             bar_prob=sc[:, 2],
             labels=labels,
             mapq=sc[:, 3],
+            dust=sc[:, 4:6],
         )
 
     def run_batch_pallas(
