@@ -1,0 +1,197 @@
+"""Gold scenarios through the REAL fused Pallas pipeline on TPU hardware.
+
+Runs the dev/bar_read gold scenarios (reference: dev/bar_read_test.sh)
+end-to-end with ``-engine tpu`` on the attached chip — no
+``TAGDUST_TPU_PALLAS=0`` crutch, streaming windows forced small so the
+pipelined dispatch path (and its device-side DUST) is exercised — and holds
+the results to the gold bar:
+
+* the evalres metrics TSV must equal the reference gold line verbatim;
+* every read must land in the same output file with the same extracted
+  seq/qual as under the bit-exact parity engine (decision identity);
+* a decision-margin audit: max |Q_exact - Q_pallas| over the scenario,
+  asserted < 0.15 (same bound as the scan-flavor audit in
+  tests/test_gold_tpu_engine.py).
+
+Writes a machine-readable digest to GOLD_TPU_HW_r03.json (or $GOLD_OUT).
+All runs happen in ONE process: this rig's tunneled device link stalls
+minutes on a process's first device->host transfer, which says nothing
+about the kernels under test.
+
+Usage:  python scripts/gold_tpu_hw.py          (needs the TPU attached)
+Opt-in pytest wrapper: tests/test_tpu_hw.py (TAGDUST_TPU_HW=1).
+"""
+
+import hashlib
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+DEV = "/root/reference/dev"
+EDITTAG = os.path.join(DEV, "EDITTAG_6nt_ed_4.txt")
+
+GOLD = {
+    "barread1": (
+        "tagdust\t1.0000\t0.9542\t0.9947\t0.9739\t0.0000\t"
+        "8951.00\t48.00\t0.00\t1001.00"
+    ),
+    "barread2": (
+        "tagdust\t1.0000\t0.9775\t0.9974\t0.9874\t0.0013\t"
+        "8976.00\t23.00\t0.00\t1001.00"
+    ),
+}
+
+_RQ = re.compile(r";RQ:[0-9.]+")
+
+
+def run_cli(tool, args, cwd, extra_env=None):
+    """Run a tool's CLI main() in-process (same code path as the console
+    script) with a scoped cwd/env."""
+    import importlib
+
+    mod = importlib.import_module(f"tagdust_tpu.cli.{tool}")
+    old_cwd = os.getcwd()
+    old_env = dict(os.environ)
+    os.chdir(cwd)
+    try:
+        if extra_env:
+            os.environ.update(extra_env)
+        mod.main(args)
+    finally:
+        os.chdir(old_cwd)
+        os.environ.clear()
+        os.environ.update(old_env)
+
+
+def simreads(cwd, out, extra=()):
+    run_cli(
+        "simreads",
+        [EDITTAG, "-seed", "42", "-sim_barnum", "4", *extra,
+         "-sim_readlen", "20", "-sim_readlen_mod", "0",
+         "-sim_numseq", "10000", "-sim_endloss", "0",
+         "-sim_random_frac", "0.1", "-o", out, "-sim_error_rate", "0.02"],
+        cwd,
+        extra_env={"TAGDUST_TPU_RTEST": "1"},
+    )
+
+
+def read_assignment(cwd, prefix):
+    out = {}
+    for f in sorted(os.listdir(cwd)):
+        if not (f.startswith(prefix) and f.endswith(".fq")):
+            continue
+        with open(os.path.join(cwd, f)) as fh:
+            lines = fh.read().splitlines()
+        for i in range(0, len(lines) - 3, 4):
+            out[_RQ.sub("", lines[i])] = (f[len(prefix):], lines[i + 1],
+                                          lines[i + 3])
+    return out
+
+
+def mapq_by_name(cwd, prefix):
+    out = {}
+    rq = re.compile(r"^(@.*);RQ:([0-9.]+)$")
+    for f in sorted(os.listdir(cwd)):
+        if not (f.startswith(prefix) and f.endswith(".fq")):
+            continue
+        with open(os.path.join(cwd, f)) as fh:
+            lines = fh.read().splitlines()
+        for i in range(0, len(lines) - 3, 4):
+            m = rq.match(lines[i])
+            if m:
+                out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def run_scenario(scenario, results):
+    import jax
+
+    extra = (("-sim_5seq", "GGGGGGG", "-sim_3seq", "TTTTTTT")
+             if scenario == "barread2" else ())
+    with tempfile.TemporaryDirectory() as cwd:
+        simreads(cwd, f"{scenario}.fq", extra=extra)
+        arch = f"{scenario}.fq_tagdust_arch.txt"
+        base_env = {"TAGDUST_TPU_RTEST": "1", "TAGDUST_TPU_STRICT": "1"}
+        run_cli(
+            "tagdust",
+            ["-seed", "42", f"{scenario}.fq", "-arch", arch, "-o", "ex"],
+            cwd, extra_env=base_env,
+        )
+        t0 = time.time()
+        run_cli(
+            "tagdust",
+            ["-seed", "42", f"{scenario}.fq", "-arch", arch,
+             "-engine", "tpu", "-o", "tp"],
+            cwd,
+            extra_env={
+                **base_env,
+                # force the streaming pipelined path on the 1000-read RTEST
+                # chunks so the production dispatch + device DUST run
+                "TAGDUST_TPU_WINDOW": "256",
+            },
+        )
+        tpu_seconds = time.time() - t0
+        outs = sorted(f for f in os.listdir(cwd)
+                      if f.startswith("tp_") and f.endswith(".fq"))
+        run_cli("evalres", ["-name", "tagdust", *outs, "-o", "tp"], cwd,
+                extra_env=base_env)
+        with open(os.path.join(cwd, "tp_results.txt")) as fh:
+            got = fh.read().strip().splitlines()[1]
+        assert got == GOLD[scenario], (
+            f"{scenario}: metrics TSV != gold\n got: {got}\ngold: "
+            f"{GOLD[scenario]}"
+        )
+        ex = read_assignment(cwd, "ex_")
+        tp = read_assignment(cwd, "tp_")
+        assert set(ex) == set(tp), "read-name sets differ"
+        diff = [n for n in ex if ex[n] != tp[n]]
+        assert not diff, (
+            f"{scenario}: {len(diff)} reads decided differently, "
+            f"e.g. {diff[:3]}"
+        )
+        qe = mapq_by_name(cwd, "ex_")
+        qt = mapq_by_name(cwd, "tp_")
+        max_dq = max(abs(qe[n] - qt[n]) for n in qe)
+        assert max_dq < 0.15, f"{scenario}: max |dQ| = {max_dq}"
+        digest = hashlib.sha256(
+            "".join(f"{n}:{v}" for n, v in sorted(tp.items())).encode()
+        ).hexdigest()
+        results[scenario] = {
+            "gold_tsv": "match",
+            "reads_compared": len(ex),
+            "decision_identity": "exact == pallas",
+            "max_abs_dQ_vs_exact": round(max_dq, 4),
+            "output_digest_sha256": digest,
+            "tpu_engine_seconds": round(tpu_seconds, 2),
+        }
+        print(f"{scenario}: OK (max |dQ| = {max_dq:.4f})")
+    return results
+
+
+def main():
+    import jax
+
+    results = {
+        "platform": str(jax.devices()[0]),
+        "pallas_forced_off": os.environ.get("TAGDUST_TPU_PALLAS") == "0",
+        "streaming_window": 256,
+    }
+    assert not results["pallas_forced_off"], "run without TAGDUST_TPU_PALLAS=0"
+    for scenario in ("barread1", "barread2"):
+        run_scenario(scenario, results)
+    out = os.environ.get("GOLD_OUT", os.path.join(REPO, "GOLD_TPU_HW_r03.json"))
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,8 @@ label DP + traceback run outside (tiny [B,H] tensors).  Numerics match
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -35,6 +37,24 @@ def _round_up(x, m):
 # profiling-only ablation switches (see docs/PERFORMANCE.md methodology):
 # {"labeldp", "plab", "tp", "tb"} — never set in production code paths
 ABLATE: set = set()
+
+
+def _mxu_precision():
+    """MXU input precision for the DP matmuls (read at kernel-build time).
+
+    DEFAULT truncates f32 inputs to bf16 on real TPUs (fast; |dQ| vs the
+    exact engine up to ~3.6 on linker-heavy reads, decisions still gold —
+    scripts/gold_tpu_hw.py); "high"/"highest" run 3/6-pass passthrough for
+    f32-clean scores at a throughput cost.  Env: TAGDUST_TPU_PRECISION.
+    """
+    import jax
+
+    name = os.environ.get("TAGDUST_TPU_PRECISION", "default").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
 
 
 def make_fused_scorer(
@@ -59,6 +79,7 @@ def make_fused_scorer(
     forward kernel (unrolled max-plus over the H labels) and a third tiny
     kernel runs the traceback, so the whole per-read pipeline is three Pallas
     kernels with no XLA scans."""
+    _PREC = _mxu_precision()
     S = A.shape[1]
     K = Uent.shape[1]
     H = tmatrix.shape[0]
@@ -200,7 +221,7 @@ def make_fused_scorer(
             acc = acc + jnp.dot(
                 vc,
                 mat_ref[c * Sp : (c + 1) * Sp, :],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_PREC,
             )
         return acc
 
@@ -226,7 +247,7 @@ def make_fused_scorer(
                 r = (c * G + g) * 128
                 accg = accg + jnp.dot(
                     xc, mat_ref[r : r + 128, :],
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_PREC,
                 )
             parts.append(accg)
         return jnp.concatenate(parts, axis=1)
@@ -238,8 +259,8 @@ def make_fused_scorer(
         if grouped is None:
             return _select_matmul(v, base_col, mat_ref, Sp)
         acc = _blockdots(v, base_col, mat_ref)
-        sexit = jnp.dot(v, uexit_ref[:, :], preferred_element_type=jnp.float32)
-        sseg = jnp.dot(sexit, mseg_ref[:, :], preferred_element_type=jnp.float32)
+        sexit = jnp.dot(v, uexit_ref[:, :], preferred_element_type=jnp.float32, precision=_PREC)
+        sseg = jnp.dot(sexit, mseg_ref[:, :], preferred_element_type=jnp.float32, precision=_PREC)
         return acc + sseg * _wsel(base_col, wvec_ref)
 
     def _step_bwd(b, base_col, mat_ref, wvec_ref, mseg_ref, uexit_ref):
@@ -249,9 +270,9 @@ def make_fused_scorer(
             return _select_matmul(b, base_col, mat_ref, Sp)
         acc = _blockdots(b, base_col, mat_ref)
         q = b * _wsel(base_col, wvec_ref)
-        sent = jnp.dot(q, mseg_ref[:, :], preferred_element_type=jnp.float32)
+        sent = jnp.dot(q, mseg_ref[:, :], preferred_element_type=jnp.float32, precision=_PREC)
         return acc + jnp.dot(
-            sent, uexit_ref[:, :], preferred_element_type=jnp.float32
+            sent, uexit_ref[:, :], preferred_element_type=jnp.float32, precision=_PREC
         )
 
     # ---------------- backward kernel ----------------
@@ -349,7 +370,7 @@ def make_fused_scorer(
         vn = _step_fwd(v, base, afwd_ref, wvecf_ref, msegf_ref, uexitf_ref)
         # entry flows factor as (v @ Uent) * Eent[base]: one unmasked matmul
         # plus a VPU emission select instead of riding the 5-way masked one
-        ve_u = jnp.dot(v, uent_ref[:, :], preferred_element_type=jnp.float32)
+        ve_u = jnp.dot(v, uent_ref[:, :], preferred_element_type=jnp.float32, precision=_PREC)
         esel = jnp.zeros((BT, Kp), jnp.float32)
         for c in range(5):
             esel = jnp.where(
@@ -367,13 +388,13 @@ def make_fused_scorer(
             plab = jnp.zeros((BT, Hp), jnp.float32)
         else:
             plab = (
-                jnp.dot(vn * bw, lmap_ref[:, :], preferred_element_type=jnp.float32)
+                jnp.dot(vn * bw, lmap_ref[:, :], preferred_element_type=jnp.float32, precision=_PREC)
                 * w
             )
         if "tp" in ABLATE:
             tpn = tp
         else:
-            bwsel = jnp.dot(bw, entsel_ref[:, :], preferred_element_type=jnp.float32)
+            bwsel = jnp.dot(bw, entsel_ref[:, :], preferred_element_type=jnp.float32, precision=_PREC)
             tpn = tp + ve * bwsel * w
         m = jnp.max(vn, axis=1, keepdims=True)
         m = jnp.where(m > 0, m, 1.0)
@@ -441,7 +462,7 @@ def make_fused_scorer(
         def _():
             dpfin_ref[:, :] = dp
             f_lin = jnp.dot(
-                v, end_ref[:, :], preferred_element_type=jnp.float32
+                v, end_ref[:, :], preferred_element_type=jnp.float32, precision=_PREC
             )[:, :1]
             flog = jnp.log(jnp.maximum(f_lin, 1e-38)) + fls
             flog_ref[:, :] = jnp.broadcast_to(flog, (BT, 128))

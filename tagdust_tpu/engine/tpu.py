@@ -218,17 +218,24 @@ def _forward_backward(lat_dev, seqs, lens):
         + jnp.log(1.0 / avg_len)
     )
 
-    denom = jnp.logaddexp(f_log, r_log)
-    p_right = jnp.exp(bar_log + f_log - denom)
-    p_wrong = jnp.clip(1.0 - p_right, 0.0, 1.0)
-    mapq = jnp.where(
-        p_wrong <= 0.0,
-        40.0,
-        jnp.where(p_wrong >= 1.0, 0.0, -10.0 * jnp.log10(p_wrong)),
-    )
-    mapq = jnp.clip(mapq, 0.0, 40.0)
+    mapq = _q_from_scores(f_log, r_log, bar_log)
 
     return f_log, r_log, bar_log, labels, mapq
+
+
+def _q_from_scores(f_log, r_log, bar_log):
+    """Q exactly as do_label_thread computes it (barcode_hmm.c:2318-2336):
+    p_wrong==0 -> 40, ==1 -> 0, else -10*log10(p_wrong) UNCLAMPED — Q above
+    40 (and NaN for a negative p_wrong) flows through like the C double
+    math.  An upper clamp here cost |dQ| up to 3.6 vs the exact engine on
+    high-confidence reads (found by scripts/gold_tpu_hw.py on hardware)."""
+    denom = jnp.logaddexp(f_log, r_log)
+    p_wrong = 1.0 - jnp.exp(bar_log + f_log - denom)
+    return jnp.where(
+        p_wrong == 0.0,
+        40.0,
+        jnp.where(p_wrong == 1.0, 0.0, -10.0 * jnp.log10(p_wrong)),
+    )
 
 
 class TpuEngine:
@@ -382,20 +389,12 @@ class TpuEngine:
                     + lens.astype(jnp.float32) * r_per
                     + jnp.log(1.0 / avg_len)
                 )
-                denom = jnp.logaddexp(f_log, r_log)
-                p_right = jnp.exp(bar_log + f_log - denom)
-                p_wrong = jnp.clip(1.0 - p_right, 0.0, 1.0)
-                mapq = jnp.where(
-                    p_wrong <= 0.0,
-                    40.0,
-                    jnp.where(p_wrong >= 1.0, 0.0, -10.0 * jnp.log10(p_wrong)),
-                )
                 return (
                     f_log,
                     r_log,
                     bar_log,
                     labels.astype(lab_dtype),
-                    jnp.clip(mapq, 0.0, 40.0),
+                    _q_from_scores(f_log, r_log, bar_log),
                 )
 
             # cache the raw fn too: parallel/mesh.py wraps it per-shard
