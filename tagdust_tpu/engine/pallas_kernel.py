@@ -43,16 +43,18 @@ def _mxu_precision():
     """MXU input precision for the DP matmuls (read at kernel-build time).
 
     DEFAULT truncates f32 inputs to bf16 on real TPUs (fast; |dQ| vs the
-    exact engine up to ~3.6 on linker-heavy reads, decisions still gold —
-    scripts/gold_tpu_hw.py); "high"/"highest" run 3/6-pass passthrough for
-    f32-clean scores at a throughput cost.  Env: TAGDUST_TPU_PRECISION.
+    exact engine up to ~0.7 on linker-heavy reads, decisions still gold —
+    scripts/gold_tpu_hw.py); "high"/"highest" run 6-pass passthrough for
+    f32-clean scores at a throughput cost (Mosaic's dot lowering supports
+    only DEFAULT and HIGHEST, so 3-pass HIGH maps to HIGHEST here).
+    Env: TAGDUST_TPU_PRECISION.
     """
     import jax
 
     name = os.environ.get("TAGDUST_TPU_PRECISION", "default").lower()
     return {
         "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
+        "high": jax.lax.Precision.HIGHEST,
         "highest": jax.lax.Precision.HIGHEST,
     }[name]
 

@@ -77,6 +77,10 @@ def get_engine(mb: ModelBag, kind: str):
     if dig is None:
         dig = mb._digest_cache = mb.digest()
     key = (dig, kind)
+    if kind == "tpu":
+        # MXU precision is baked into the compiled kernels at build time;
+        # a changed TAGDUST_TPU_PRECISION must not hit stale kernels
+        key = (dig, kind, os.environ.get("TAGDUST_TPU_PRECISION", "default"))
     if key not in _ENGINE_CACHE:
         if kind == "tpu":
             from .tpu import TpuEngine

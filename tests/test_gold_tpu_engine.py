@@ -176,3 +176,71 @@ def test_decision_margin_audit(tmp_path):
             f"thr={thr}: {flipped} decisions flipped "
             f"({at_risk} reads inside the {dq.max():.3f} tolerance band)"
         )
+
+
+@requires_dev
+def test_decision_margin_audit_psegment(tmp_path):
+    """barread2-style P-linker scenario: decompose the Q deltas.
+
+    The exact engine replicates the reference's 16k-entry TABLE logsum
+    (misc.c:57-78); on linker-heavy reads the accumulated table error vs
+    clean f32 logsumexp reaches ~0.65 Q (measured 0.64).  The Pallas
+    FORMULATION itself (interpret mode, f32) matches the XLA scan to
+    ~0.015 Q on the same worst reads.  Pin both facts so a kernel-numerics
+    regression can't hide behind the known table effect
+    (scripts/gold_tpu_hw.py runs the on-chip counterpart)."""
+    from tagdust_tpu.arch import read_structure_from_params
+    from tagdust_tpu.engine.runner import score_reads
+    from tagdust_tpu.io.fastq import SeqReader
+    from tagdust_tpu.model import init_model_bag
+    from tagdust_tpu.stats import get_sequence_stats
+
+    cwd = str(tmp_path)
+    simreads(cwd, "mp.fq", 4, extra=("-sim_5seq", "GGGGGGG",
+                                     "-sim_3seq", "TTTTTTT"))
+    path = os.path.join(cwd, "mp.fq")
+    arch_line = open(os.path.join(cwd, "mp.fq_tagdust_arch.txt")).read().split()
+    segs = [None] * 10
+    for i, tok in enumerate(arch_line):
+        if tok.startswith("-") and tok[1:].isdigit():
+            segs[int(tok[1:]) - 1] = arch_line[i + 1]
+    rs = read_structure_from_params(segs)
+    ssi = get_sequence_stats(path, rs, 100000, -1, -1)
+    mb = init_model_bag(rs, ssi, 0.05, 0.1)
+
+    def load():
+        rd = SeqReader(path)
+        reads = rd.read_chunk(100000)
+        rd.close()
+        return reads
+
+    re_, rs_, rp_ = load(), load(), load()
+    score_reads(mb, re_, engine_kind="exact")
+    os.environ["TAGDUST_TPU_PALLAS"] = "0"
+    try:
+        score_reads(mb, rs_, engine_kind="tpu")
+    finally:
+        os.environ.pop("TAGDUST_TPU_PALLAS", None)
+
+    qe = np.array([r.mapq for r in re_])
+    qs = np.array([r.mapq for r in rs_])
+    d_scan = np.abs(qe - qs)
+    assert d_scan.max() < 1.0, (
+        f"table-logsum delta degraded: max dQ={d_scan.max():.4f}"
+    )
+
+    # kernel-formulation audit on the worst table-delta reads: interpret
+    # Pallas (f32) vs the XLA scan (f32) — slow per read, so subsample
+    worst = np.argsort(d_scan)[-16:]
+    sub = [rp_[i] for i in worst]
+    os.environ["TAGDUST_TPU_PALLAS"] = "1"
+    try:
+        score_reads(mb, sub, engine_kind="tpu")
+    finally:
+        os.environ.pop("TAGDUST_TPU_PALLAS", None)
+    qp = np.array([r.mapq for r in sub])
+    d_kernel = np.abs(qp - qs[worst])
+    assert d_kernel.max() < 0.05, (
+        f"pallas-vs-scan formulation delta degraded: "
+        f"max dQ={d_kernel.max():.4f}"
+    )
