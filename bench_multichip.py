@@ -26,6 +26,17 @@ def main():
     ap.add_argument("--len", dest="length", type=int, default=48)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--force-cpu", action="store_true")
+    ap.add_argument(
+        "--engine",
+        choices=("auto", "pallas", "xla-scan"),
+        default="auto",
+        help=(
+            "auto = pallas on TPU, xla-scan on CPU; 'pallas' on the CPU "
+            "virtual mesh runs the REAL sharded Pallas kernels in interpret "
+            "mode (slow, but measures the shipped path's sharding machinery "
+            "— VERDICT r2 item 6)"
+        ),
+    )
     args = ap.parse_args()
 
     if args.force_cpu:
@@ -57,7 +68,7 @@ def main():
             sys.executable,
             [sys.executable, os.path.abspath(__file__), "--force-cpu",
              "--batch", str(args.batch), "--len", str(args.length),
-             "--reps", str(args.reps)],
+             "--reps", str(args.reps), "--engine", args.engine],
         )
 
     import numpy as np
@@ -67,7 +78,11 @@ def main():
     from tagdust_tpu.parallel.mesh import ShardedScorer, make_mesh
 
     platform = devices[0].platform
-    use_pallas = platform == "tpu"
+    if args.engine == "auto":
+        use_pallas = platform == "tpu"
+    else:
+        use_pallas = args.engine == "pallas"
+    interpret_note = use_pallas and platform == "cpu"
     eng = g._flagship_engine()
     rng = np.random.default_rng(0)
     B, L = args.batch, args.length
@@ -95,11 +110,23 @@ def main():
                 {
                     "devices": n,
                     "platform": platform,
-                    "engine": "pallas" if use_pallas else "xla-scan",
+                    "engine": (
+                        "pallas-interpret" if interpret_note
+                        else "pallas" if use_pallas else "xla-scan"
+                    ),
                     "reads_per_s": round(rps),
                     "scaling_efficiency": round(eff, 3),
                     "note": (
-                        "virtual host devices share CPU cores"
+                        (
+                            "virtual host devices share CPU cores"
+                            + (
+                                "; REAL sharded Pallas kernels in interpret"
+                                " mode — measures the shipped path's"
+                                " machinery, absolute rps meaningless"
+                                if interpret_note
+                                else ""
+                            )
+                        )
                         if platform == "cpu"
                         else "real chips"
                     ),

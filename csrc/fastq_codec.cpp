@@ -158,6 +158,71 @@ void td_decode_seq(const uint8_t* codes, long n, char* out) {
     for (long i = 0; i < n; i++) out[i] = alpha[codes[i] > 5 ? 4 : codes[i]];
 }
 
+// Skip up to max_records records: the same line-state grammar as
+// td_parse_fastq2 but without arena copies or nuc encoding — multi-host
+// input sharding uses this so a process pays only boundary-scan cost for
+// chunks another host owns (the cross-host analogue of the reference's
+// per-thread slice ownership, barcode_hmm.c:1911-1922).  Returns the
+// number of complete records skipped; *consumed = bytes through the last
+// complete record.
+long td_skip_fastq(const char* buf, long n, long max_records, int at_eof,
+                   long* consumed) {
+    long pos = 0;
+    long rec = 0;
+    long committed = 0;
+    while (pos < n && rec < max_records) {
+        long ls, le, p;
+        p = scan_line(buf, n, pos, at_eof, &ls, &le);
+        if (p < 0) break;
+        if (ls >= le || (buf[ls] != '@' && buf[ls] != '>')) {
+            pos = p;
+            continue;
+        }
+        long ss, se;
+        long after_seq;
+        if (p >= n) {
+            if (!at_eof) break;
+            after_seq = n;
+        } else {
+            after_seq = scan_line(buf, n, p, at_eof, &ss, &se);
+            if (after_seq < 0) {
+                if (!at_eof) break;
+                after_seq = n;
+            }
+        }
+        long q = after_seq;
+        bool decided = false;
+        while (q < n) {
+            long js, je;
+            long nx = scan_line(buf, n, q, at_eof, &js, &je);
+            if (nx < 0) break;
+            char c = js < je ? buf[js] : '\0';
+            if (c == '@' || c == '>') { decided = true; break; }
+            if (c == '+') {
+                if (nx >= n) {
+                    if (!at_eof) break;
+                    q = n;
+                    decided = true;
+                    break;
+                }
+                long qs2, qe2;
+                long nx2 = scan_line(buf, n, nx, at_eof, &qs2, &qe2);
+                if (nx2 < 0) break;
+                q = nx2;
+                decided = true;
+                break;
+            }
+            q = nx;
+        }
+        if (!decided && !(at_eof && q >= n)) break;
+        rec++;
+        pos = q;
+        committed = q;
+    }
+    *consumed = committed;
+    return rec;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

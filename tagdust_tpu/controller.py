@@ -73,10 +73,14 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
     log = log or MessageLog()
     nfiles = param.infiles
 
-    # multi-host: each process owns chunks with index % nproc == pid and
-    # writes its own output shard; counters are summed across hosts at the
-    # end (parallel/multihost.py)
+    # multi-host: each process owns chunks with index % nproc == pid,
+    # skip-parses the rest (io/fastq.py:skip_chunk), and writes its own
+    # output shard; stats / calibration / arch detection run ONCE on host 0
+    # and broadcast; counters are summed across hosts and host 0 merges the
+    # shards back into the reference's single file set at the end
+    # (parallel/multihost.py)
     pid, nproc = 0, 1
+    final_outfile = param.outfile
     if getattr(param, "multihost", False):
         from .parallel.multihost import init_multihost
 
@@ -90,18 +94,47 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
                 f"output shard prefix {param.outfile}\n"
             )
 
+    def _once_on_host0(compute):
+        """Run `compute` on host 0 and broadcast the result; other hosts
+        receive it (or a host-0 failure, surfaced as SystemExit)."""
+        if nproc == 1:
+            return compute()
+        from .parallel.multihost import broadcast_obj
+
+        if pid == 0:
+            exc = None
+            try:
+                payload = ("ok", compute())
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                exc = e
+                payload = ("err", f"{type(e).__name__}: {e}")
+            out = broadcast_obj(payload, True)
+            if exc is not None:
+                raise exc
+            return out[1]
+        status, data = broadcast_obj(None, False)
+        if status == "err":
+            log(f"host 0 failed: {data}\n")
+            log.flush(param.outfile)
+            raise SystemExit(1)
+        return data
+
     cli_rs = read_structure_from_params(param.segments)
 
-    read_structures: List[ReadStructure] = []
-    for i in range(nfiles):
-        if i == 0 and cli_rs.num_segments:
-            rs = cli_rs
-        elif param.arch_file:
-            rs = test_architectures(param, i, log=log)
-        else:
-            rs = build_read_structure(["R:N"])
-            qc_read_structure(rs)
-        read_structures.append(rs)
+    def _resolve_read_structures() -> List[ReadStructure]:
+        out: List[ReadStructure] = []
+        for i in range(nfiles):
+            if i == 0 and cli_rs.num_segments:
+                rs = cli_rs
+            elif param.arch_file:
+                rs = test_architectures(param, i, log=log)
+            else:
+                rs = build_read_structure(["R:N"])
+                qc_read_structure(rs)
+            out.append(rs)
+        return out
+
+    read_structures = _once_on_host0(_resolve_read_structures)
 
     barcode_present = 0
     read_present = [0] * nfiles
@@ -120,8 +153,10 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
     num_out_reads = sum(read_present)
     for i in range(nfiles):
         if barcode_present & (1 << i):
+            # refuse on the FINAL (merged) names: that's the file set the
+            # user receives (shards are transient under -multihost)
             found = existing_output_files(
-                param.outfile, read_structures[i], num_out_reads, param.multiread
+                final_outfile, read_structures[i], num_out_reads, param.multiread
             )
             if found:
                 log.flush(param.outfile)
@@ -137,35 +172,39 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
     if not param.rtest:
         read_chunk = int(os.environ.get("TAGDUST_TPU_CHUNK", "262144"))
 
-    stats = []
-    for i in range(nfiles):
-        stats.append(
-            get_sequence_stats(
-                param.infile[i],
-                read_structures[i],
-                param.num_query,
-                param.matchstart,
-                param.matchend,
-                sam_filter=param.filter,
-            )
-        )
-
-    thresholds = [0.0] * nfiles
-    if not param.confidence_threshold:
-        # calibrate on the engine production will score with
-        kind = "tpu" if getattr(param, "engine", "auto") == "tpu" else "exact"
-
-        def _get_prob(mb, seq_list):
-            return run_get_prob(mb, seq_list, engine_kind=kind)
-
+    def _compute_stats_thresholds():
+        stats = []
         for i in range(nfiles):
-            log(f"Determining threshold for read{i}.\n")
-            thresholds[i] = estimate_q_threshold(
-                param, read_structures[i], stats[i], _get_prob
+            stats.append(
+                get_sequence_stats(
+                    param.infile[i],
+                    read_structures[i],
+                    param.num_query,
+                    param.matchstart,
+                    param.matchend,
+                    sam_filter=param.filter,
+                )
             )
-            log(f"Selected Threshold:: {thresholds[i]:f}\n")
-    # NOTE: with -Q given the reference leaves confidence_thresholds[] at 0.0
-    # and uses those per-file values (barcode_hmm.c:102, :314) — replicated.
+
+        thresholds = [0.0] * nfiles
+        if not param.confidence_threshold:
+            # calibrate on the engine production will score with
+            kind = "tpu" if getattr(param, "engine", "auto") == "tpu" else "exact"
+
+            def _get_prob(mb, seq_list):
+                return run_get_prob(mb, seq_list, engine_kind=kind)
+
+            for i in range(nfiles):
+                log(f"Determining threshold for read{i}.\n")
+                thresholds[i] = estimate_q_threshold(
+                    param, read_structures[i], stats[i], _get_prob
+                )
+                log(f"Selected Threshold:: {thresholds[i]:f}\n")
+        # NOTE: with -Q given the reference leaves confidence_thresholds[] at
+        # 0.0 and uses those per-file values (barcode_hmm.c:102, :314).
+        return stats, thresholds
+
+    stats, thresholds = _once_on_host0(_compute_stats_thresholds)
 
     model_bags = [
         init_model_bag(

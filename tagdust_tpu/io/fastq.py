@@ -158,6 +158,18 @@ class SeqReader:
             return self._fast.read_records(num_query)
         return self._read_fasta_fastq_chunk(num_query)
 
+    def skip_chunk(self, num_query: int) -> int:
+        """Skip up to num_query records, returning the count skipped.
+
+        Multi-host input sharding (parallel/multihost.py): chunks owned by
+        another process only pay record-boundary scanning here — the
+        native codec's ``td_skip_fastq`` does no arena copies and no nuc
+        encoding.  SAM and the pure-Python parser fall back to
+        parse-and-discard (still cheaper than scoring, and rare paths)."""
+        if self._fast is not None and not self.is_sam:
+            return self._fast.skip_records(num_query)
+        return len(self.read_chunk(num_query))
+
     def read_chunk_batch(self, num_query: int):
         """Columnar chunk read (ReadBatch) — the production hot path.
 

@@ -33,6 +33,7 @@ def get_lib():
     lib = ctypes.CDLL(_SO)
     lib.td_parse_fastq2.restype = ctypes.c_long
     lib.td_emit_runs.restype = ctypes.c_long
+    lib.td_skip_fastq.restype = ctypes.c_long
     _lib = lib
     return lib
 
@@ -171,3 +172,41 @@ class FastParser:
     def read_records(self, max_records: int) -> List:
         """Per-read-object view of the columnar parse (non-hot consumers)."""
         return self.read_batch(max_records).to_reads()
+
+    def skip_records(self, max_records: int) -> int:
+        """Skip up to max_records records, paying only record-boundary-scan
+        cost (no arena copies / nuc encoding).  Multi-host input sharding:
+        a process calls this for chunks another host owns.  Returns the
+        number of records actually skipped (0 at EOF)."""
+        lib = self.lib
+        total = 0
+        while total < max_records:
+            if not self.tail and self.eof:
+                break
+            while (not self.eof) and len(self.tail) < self.bufsize:
+                chunk = self.stream.read(self.bufsize)
+                if not chunk:
+                    self.eof = True
+                    break
+                self.tail += chunk
+            buf = self.tail
+            if not buf:
+                break
+            consumed = ctypes.c_long(0)
+            rec = lib.td_skip_fastq(
+                buf,
+                ctypes.c_long(len(buf)),
+                ctypes.c_long(max_records - total),
+                ctypes.c_int(1 if self.eof else 0),
+                ctypes.byref(consumed),
+            )
+            if consumed.value == 0 and rec == 0:
+                if self.eof:
+                    break
+                self.bufsize *= 2
+                continue
+            self.tail = buf[consumed.value :]
+            total += rec
+            if rec == 0 and self.eof:
+                break
+        return total

@@ -90,11 +90,13 @@ class DemuxWriter:
         rs: ReadStructure,
         read_present: List[int],
         print_seq_finger: bool = False,
+        track_chunks: bool = False,
     ):
         self.outfile = outfile
         self.rs = rs
         self.read_present = read_present
         self.print_seq_finger = print_seq_finger
+        self.track_chunks = track_chunks
         self.num_out_reads = sum(read_present)
         barseg = rs.barcode_segment()
         if barseg != -1:
@@ -128,7 +130,36 @@ class DemuxWriter:
             else:
                 names.append(f"{outfile}.fq")
                 names.append(f"{outfile}_un.fq")
+        self.names = names
         self.files = [open(n, "wb") for n in names]
+        # multi-host shard bookkeeping: byte range each chunk wrote to each
+        # output file, so host 0 can interleave the shards back into the
+        # reference's single file set in global chunk order
+        # (parallel/multihost.py:merge_output_shards)
+        self._suffixes = [n[len(outfile):] for n in names]
+        self._chunk_segments: dict = {s: [] for s in self._suffixes}
+        self._last_pos = [0] * len(names)
+
+    def mark_chunk(self, chunk_idx: int) -> None:
+        """Record [start, end) byte ranges this chunk appended per file.
+
+        The native emitter writes straight to the fds, so positions come
+        from lseek after flushing the Python-side buffers."""
+        for i, f in enumerate(self.files):
+            f.flush()
+            pos = os.lseek(f.fileno(), 0, os.SEEK_CUR)
+            if pos > self._last_pos[i]:
+                self._chunk_segments[self._suffixes[i]].append(
+                    [chunk_idx, self._last_pos[i], pos]
+                )
+            self._last_pos[i] = pos
+
+    def write_sidecar(self, path: str) -> None:
+        """Dump the per-chunk byte-range index (JSON) next to the shard."""
+        import json
+
+        with open(path, "w") as fh:
+            json.dump({"files": self._chunk_segments}, fh)
 
     def write_batch_columnar(self, batches, numseq: int) -> None:
         """print_all over columnar ReadBatches (the production hot path).

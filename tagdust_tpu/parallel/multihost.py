@@ -114,3 +114,91 @@ def global_counter_sum(counters: dict) -> dict:
     per_host = (parts[:, 0] & 0xFFFFFFFF) | (parts[:, 1] << 32)
     tot = per_host.sum(axis=0)
     return {k: int(tot[i]) for i, k in enumerate(keys)}
+
+
+def broadcast_obj(obj, is_source: bool):
+    """Broadcast a picklable object from process 0 to all processes.
+
+    Used to compute stats / calibration thresholds / arch detection ONCE
+    (on host 0) instead of redundantly on every host: two
+    ``broadcast_one_to_all`` rounds — payload length, then the pickled
+    bytes.  Returns the object on every process."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    payload = pickle.dumps(obj) if is_source else b""
+    n = multihost_utils.broadcast_one_to_all(
+        np.array([len(payload)], dtype=np.int32)
+    )
+    buf = np.zeros(int(n[0]), dtype=np.uint8)
+    if is_source:
+        buf[:] = np.frombuffer(payload, dtype=np.uint8)
+    buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return pickle.loads(buf.tobytes())
+
+
+def merge_output_shards(base_outfile: str, pid: int, nproc: int) -> None:
+    """Interleave the per-host output shards back into the reference's
+    single demultiplexed file set (io.c:757-1029 contract).
+
+    Every host wrote ``<base>.h<p><suffix>`` shard files plus a sidecar
+    index of per-chunk byte ranges (io/writer.py:mark_chunk).  After a
+    cross-host barrier, host 0 concatenates each output file's chunks in
+    GLOBAL chunk order — chunk c lives in host ``c % nproc``'s shard — so
+    the merged bytes equal a single-process run's exactly, then removes
+    the shards.  Requires the hosts to share a filesystem (true on pods
+    with a shared scratch; per-host object stores need a gather step
+    instead)."""
+    import json
+    import os
+
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("tagdust:shards-written")
+    if pid != 0:
+        return
+    shards = []
+    for p in range(nproc):
+        sc = f"{base_outfile}.h{p}.chunks.json"
+        try:
+            with open(sc) as fh:
+                shards.append(json.load(fh)["files"])
+        except FileNotFoundError:
+            shards.append({})  # host owned no chunks
+    suffixes = sorted({s for sh in shards for s in sh})
+    for suffix in suffixes:
+        segs = []  # (chunk_idx, host, start, end)
+        for p, sh in enumerate(shards):
+            for ci, a, b in sh.get(suffix, []):
+                segs.append((ci, p, a, b))
+        segs.sort()
+        handles = {}
+        try:
+            with open(base_outfile + suffix, "wb") as out:
+                for ci, p, a, b in segs:
+                    fh = handles.get(p)
+                    if fh is None:
+                        fh = handles[p] = open(
+                            f"{base_outfile}.h{p}{suffix}", "rb"
+                        )
+                    fh.seek(a)
+                    out.write(fh.read(b - a))
+        finally:
+            for fh in handles.values():
+                fh.close()
+    for p, sh in enumerate(shards):
+        for suffix in sh:
+            try:
+                os.remove(f"{base_outfile}.h{p}{suffix}")
+            except FileNotFoundError:
+                pass
+        try:
+            os.remove(f"{base_outfile}.h{p}.chunks.json")
+        except FileNotFoundError:
+            pass
