@@ -68,19 +68,32 @@ def _build_batches(reads: List[Read], matchstart: int, matchend: int):
 _ENGINE_CACHE: dict = {}
 
 
+def _engine_key(mb: ModelBag, kind: str):
+    """The cache key shape for get_engine.  Single source of truth — tests
+    that pre-seed the cache must go through seed_engine so they cannot
+    drift when the key grows a component."""
+    dig = getattr(mb, "_digest_cache", None)
+    if dig is None:
+        dig = mb._digest_cache = mb.digest()
+    if kind == "tpu":
+        # MXU precision is baked into the compiled kernels at build time;
+        # a changed TAGDUST_TPU_PRECISION must not hit stale kernels
+        return (dig, kind, os.environ.get("TAGDUST_TPU_PRECISION", "default"))
+    return (dig, kind)
+
+
+def seed_engine(mb: ModelBag, eng, kind: str = "tpu") -> None:
+    """Install a pre-built engine into the cache under the canonical key
+    (test hook — keeps fixtures in sync with _engine_key's shape)."""
+    _ENGINE_CACHE[_engine_key(mb, kind)] = eng
+
+
 def get_engine(mb: ModelBag, kind: str):
     """Engines (and their jitted device programs) are cached by model
     CONTENT, so repeated controller invocations with the same architecture
     (calibration -> production, or back-to-back runs in one process) reuse
     the compiled pipeline instead of recompiling per ModelBag object."""
-    dig = getattr(mb, "_digest_cache", None)
-    if dig is None:
-        dig = mb._digest_cache = mb.digest()
-    key = (dig, kind)
-    if kind == "tpu":
-        # MXU precision is baked into the compiled kernels at build time;
-        # a changed TAGDUST_TPU_PRECISION must not hit stale kernels
-        key = (dig, kind, os.environ.get("TAGDUST_TPU_PRECISION", "default"))
+    key = _engine_key(mb, kind)
     if key not in _ENGINE_CACHE:
         if kind == "tpu":
             from .tpu import TpuEngine

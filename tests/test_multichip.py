@@ -117,7 +117,7 @@ def test_runner_engages_mesh(engine, monkeypatch):
     # drop the engine cache so both runs build from mb identically
     from tagdust_tpu.engine import runner as R
 
-    R._ENGINE_CACHE[(mb.digest(), "tpu")] = engine
+    R.seed_engine(mb, engine, "tpu")
     _score_reads_tpu(mb, reads_mesh, -1, -1)
     assert getattr(engine, "_mesh_scorers", None), "mesh path not engaged"
     monkeypatch.setenv("TAGDUST_TPU_MESH", "0")
