@@ -178,7 +178,7 @@ long td_skip_fastq(const char* buf, long n, long max_records, int at_eof,
             pos = p;
             continue;
         }
-        long ss, se;
+        long ss = 0, se = 0;
         long after_seq;
         if (p >= n) {
             if (!at_eof) break;
@@ -192,6 +192,8 @@ long td_skip_fastq(const char* buf, long n, long max_records, int at_eof,
         }
         long q = after_seq;
         bool decided = false;
+        bool have_qual = false;
+        long qs2 = 0, qe2 = 0;
         while (q < n) {
             long js, je;
             long nx = scan_line(buf, n, q, at_eof, &js, &je);
@@ -205,9 +207,9 @@ long td_skip_fastq(const char* buf, long n, long max_records, int at_eof,
                     decided = true;
                     break;
                 }
-                long qs2, qe2;
                 long nx2 = scan_line(buf, n, nx, at_eof, &qs2, &qe2);
                 if (nx2 < 0) break;
+                have_qual = true;
                 q = nx2;
                 decided = true;
                 break;
@@ -215,6 +217,11 @@ long td_skip_fastq(const char* buf, long n, long max_records, int at_eof,
             q = nx;
         }
         if (!decided && !(at_eof && q >= n)) break;
+        // mirror td_parse_fastq2's malformed-record rejection: a skipping
+        // host must abort on the same inputs the owning host aborts on,
+        // or a multi-host run would hang at the next collective with one
+        // process dead (ADVICE round 3)
+        if (have_qual && (qe2 - qs2) != (se - ss)) return -1;
         rec++;
         pos = q;
         committed = q;

@@ -93,6 +93,12 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
                 f"Multi-host run: process {pid}/{nproc}; "
                 f"output shard prefix {param.outfile}\n"
             )
+            # a crashed earlier run may have left this host's sidecar behind;
+            # a stale index would corrupt the end-of-run shard merge
+            try:
+                os.remove(f"{param.outfile}.chunks.json")
+            except FileNotFoundError:
+                pass
 
     def _once_on_host0(compute):
         """Run `compute` on host 0 and broadcast the result; other hosts
@@ -256,15 +262,33 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
     writer_err: List[BaseException] = []
 
     def _reader_loop() -> None:
+        # multi-host input sharding: a chunk with index % nproc != pid is
+        # owned by another host — only record-boundary scanning is paid for
+        # it (SeqReader.skip_chunk -> td_skip_fastq), the cross-host
+        # analogue of the reference's per-thread slice ownership
+        # (barcode_hmm.c:1911-1922).  Chunk 0 is parsed on EVERY host when
+        # there are multiple input files so the read-name pairing check can
+        # run (and fail) symmetrically on all hosts.
         try:
+            cidx = 0
             while not stop.is_set():
-                chunks = [
-                    readers[i].read_chunk_batch(read_chunk)
-                    for i in range(nfiles)
-                ]
-                chunk_q.put(chunks)
-                if sum(c.B for c in chunks) == 0:
+                own = nproc == 1 or cidx % nproc == pid
+                if own or (cidx == 0 and nfiles > 1):
+                    chunks = [
+                        readers[i].read_chunk_batch(read_chunk)
+                        for i in range(nfiles)
+                    ]
+                    counts = [c.B for c in chunks]
+                else:
+                    chunks = None
+                    counts = [
+                        readers[i].skip_chunk(read_chunk)
+                        for i in range(nfiles)
+                    ]
+                chunk_q.put((cidx, chunks, counts))
+                if sum(counts) == 0:
                     return
+                cidx += 1
         except BaseException as e:  # noqa: BLE001 — re-raised on the main thread
             chunk_q.put(e)
 
@@ -280,7 +304,12 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             if writer_err:
                 continue
             try:
-                writer.write_batch_columnar(*item)
+                chunks_, numseq_, cidx_ = item
+                writer.write_batch_columnar(chunks_, numseq_)
+                if writer.track_chunks:
+                    # record the GLOBAL-chunk-indexed byte ranges the shard
+                    # merge interleaves back (multihost.py:merge_output_shards)
+                    writer.mark_chunk(cidx_)
             except BaseException as e:  # noqa: BLE001
                 writer_err.append(e)
 
@@ -303,17 +332,18 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             writer_thread.join(timeout=60)
 
     first_batch = True
-    chunk_idx = -1
     while True:
         item = chunk_q.get()
         if isinstance(item, BaseException):
             _shutdown_pipeline()
             raise item
-        chunks = item
-        if sum(c.B for c in chunks) == 0:
+        chunk_idx, chunks, numseqs = item
+        if sum(numseqs) == 0:
             break
-        chunk_idx += 1
-        numseqs = [c.B for c in chunks]
+        # the cross-file record-count check runs on EVERY chunk on EVERY
+        # host — skip_chunk returns per-file counts, and chunk boundaries
+        # are identical across hosts, so a mismatch aborts all hosts
+        # symmetrically (no collective is left waiting on a dead process)
         for i in range(nfiles - 1):
             for j in range(i + 1, nfiles):
                 if numseqs[i] != numseqs[j]:
@@ -324,7 +354,7 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
                     log.flush(param.outfile)
                     _shutdown_pipeline()
                     raise SystemExit(1)
-        if first_batch:
+        if first_batch and chunks is not None:
             checker = compare_read_names
             for i in range(nfiles - 1):
                 for j in range(i + 1, nfiles):
@@ -338,7 +368,7 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
                             _shutdown_pipeline()
                             raise SystemExit(1)
 
-        if chunk_idx % nproc != pid:
+        if chunks is None or chunk_idx % nproc != pid:
             first_batch = False
             continue  # another host owns this chunk (consistency checks ran)
 
@@ -373,7 +403,8 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
 
         if writer is None:
             writer = DemuxWriter(
-                param.outfile, writer_rs, read_present, param.print_seq_finger
+                param.outfile, writer_rs, read_present, param.print_seq_finger,
+                track_chunks=nproc > 1,
             )
             writer_thread = threading.Thread(
                 target=_writer_loop, name="tagdust-writer", daemon=True
@@ -384,7 +415,7 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             raise writer_err[0]
         # hand the finished chunk to the writer thread; the counter pass
         # below only READS read_type, and nothing mutates reads after this
-        write_q.put((chunks, numseqs[0]))
+        write_q.put((chunks, numseqs[0], chunk_idx))
         first_batch = False
 
         counters["total"] += numseqs[0]
@@ -433,10 +464,27 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
             r.close()
 
     if nproc > 1:
+        import json
+
+        from .parallel.multihost import global_counter_sum, merge_output_shards
+
+        if os.environ.get("TAGDUST_TPU_IO_STATS"):
+            with open(f"{param.outfile}.iostats.json", "w") as fh:
+                json.dump(
+                    {
+                        "parsed": sum(r.records_parsed for r in readers),
+                        "skipped": sum(r.records_skipped for r in readers),
+                    },
+                    fh,
+                )
+        # interleave the per-host shards back into the reference's single
+        # demultiplexed file set (io.c:757-1029 contract); EVERY host enters
+        # (the call holds a cross-host barrier), host 0 performs the merge
+        if writer is not None:
+            writer.write_sidecar(f"{param.outfile}.chunks.json")
+        merge_output_shards(final_outfile, pid, nproc)
         # every host's logfile reports the GLOBAL outcome totals (the
         # cross-host analogue of the reference's join-then-reduce)
-        from .parallel.multihost import global_counter_sum
-
         counters = global_counter_sum(counters)
         if mer_hash:
             mh = global_counter_sum({str(i): v for i, v in enumerate(mer_hash)})
@@ -461,4 +509,6 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         for i, n in enumerate(contaminant_names):
             if mer_hash[i]:
                 log(f"{mer_hash[i]}\t{n}\n")
-    log.flush(param.outfile)
+    # host 0 writes the reference-named <out>_logfile.txt (its counters are
+    # the global totals); other hosts keep their shard-named logfiles
+    log.flush(final_outfile if pid == 0 else param.outfile)

@@ -117,6 +117,10 @@ class SeqReader:
         # value with strtol base 0, hence int(v, 0)
         self._sam_exclude = int(sam_filter, 0) if sam_filter else 768
         self.is_fasta = bool(self.fmt["fasta"])
+        # multi-host input-sharding accounting: how many records this reader
+        # fully parsed vs boundary-skipped (asserted by tests/test_multihost)
+        self.records_parsed = 0
+        self.records_skipped = 0
         self._pending: Optional[bytes] = None
         if fast is None:
             fast = os.environ.get("TAGDUST_TPU_FAST_IO", "1") == "1"
@@ -153,10 +157,13 @@ class SeqReader:
 
     def read_chunk(self, num_query: int) -> List[Read]:
         if self.is_sam:
-            return self._read_sam_chunk(num_query)
-        if self._fast is not None:
-            return self._fast.read_records(num_query)
-        return self._read_fasta_fastq_chunk(num_query)
+            out = self._read_sam_chunk(num_query)
+        elif self._fast is not None:
+            out = self._fast.read_records(num_query)
+        else:
+            out = self._read_fasta_fastq_chunk(num_query)
+        self.records_parsed += len(out)
+        return out
 
     def skip_chunk(self, num_query: int) -> int:
         """Skip up to num_query records, returning the count skipped.
@@ -167,8 +174,12 @@ class SeqReader:
         encoding.  SAM and the pure-Python parser fall back to
         parse-and-discard (still cheaper than scoring, and rare paths)."""
         if self._fast is not None and not self.is_sam:
-            return self._fast.skip_records(num_query)
-        return len(self.read_chunk(num_query))
+            n = self._fast.skip_records(num_query)
+        else:
+            n = len(self.read_chunk(num_query))
+            self.records_parsed -= n  # parse-and-discard counts as a skip
+        self.records_skipped += n
+        return n
 
     def read_chunk_batch(self, num_query: int):
         """Columnar chunk read (ReadBatch) — the production hot path.
@@ -178,7 +189,9 @@ class SeqReader:
         from .batch import ReadBatch
 
         if self._fast is not None and not self.is_sam:
-            return self._fast.read_batch(num_query)
+            rb = self._fast.read_batch(num_query)
+            self.records_parsed += rb.B
+            return rb
         return ReadBatch.from_reads(self.read_chunk(num_query))
 
     # -- FASTA / FASTQ (io.c:1684-1815) --

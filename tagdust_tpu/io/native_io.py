@@ -200,6 +200,13 @@ class FastParser:
                 ctypes.c_int(1 if self.eof else 0),
                 ctypes.byref(consumed),
             )
+            if rec < 0:
+                # same abort as read_batch: a skipping host must die on the
+                # same malformed input the owning host dies on, or a
+                # multi-host run hangs at the next collective (ADVICE r3)
+                raise SystemExit(
+                    "ERROR: Length of sequence and base qualities differ!."
+                )
             if consumed.value == 0 and rec == 0:
                 if self.eof:
                     break

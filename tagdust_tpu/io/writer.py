@@ -132,19 +132,21 @@ class DemuxWriter:
                 names.append(f"{outfile}_un.fq")
         self.names = names
         self.files = [open(n, "wb") for n in names]
-        # multi-host shard bookkeeping: byte range each chunk wrote to each
-        # output file, so host 0 can interleave the shards back into the
-        # reference's single file set in global chunk order
-        # (parallel/multihost.py:merge_output_shards)
-        self._suffixes = [n[len(outfile):] for n in names]
-        self._chunk_segments: dict = {s: [] for s in self._suffixes}
-        self._last_pos = [0] * len(names)
+        # multi-host shard bookkeeping (only under -multihost): byte range
+        # each chunk wrote to each output file, so host 0 can interleave the
+        # shards back into the reference's single file set in global chunk
+        # order (parallel/multihost.py:merge_output_shards)
+        if track_chunks:
+            self._suffixes = [n[len(outfile):] for n in names]
+            self._chunk_segments: dict = {s: [] for s in self._suffixes}
+            self._last_pos = [0] * len(names)
 
     def mark_chunk(self, chunk_idx: int) -> None:
         """Record [start, end) byte ranges this chunk appended per file.
 
         The native emitter writes straight to the fds, so positions come
         from lseek after flushing the Python-side buffers."""
+        assert self.track_chunks, "mark_chunk requires track_chunks=True"
         for i, f in enumerate(self.files):
             f.flush()
             pos = os.lseek(f.fileno(), 0, os.SEEK_CUR)

@@ -8,16 +8,20 @@ The TPU-native scale-out story has two layers:
   read sharding over the chips local to this host, wired into the runner;
 * **across hosts** (this module): `jax.distributed` initialization plus
   per-host *input* sharding — each process owns the read chunks with
-  ``global_chunk_index % process_count == process_index`` and writes its
-  own output shard (``<out>.h<pid>_...``); outcome counters are summed
-  across hosts with a collective so every host's logfile reports the
-  global totals.  The union of the per-host output shards equals a
-  single-process run's outputs (process-count invariance, asserted by
-  tests/test_multihost.py on a 2-process CPU gloo rig).
+  ``global_chunk_index % process_count == process_index``, boundary-skips
+  the rest (``SeqReader.skip_chunk`` -> ``td_skip_fastq``: no arena copies,
+  no nuc encoding), and writes its own output shard (``<out>.h<pid>_...``)
+  plus a per-chunk byte-range sidecar; at the end host 0 interleaves the
+  shards back into the reference's single demultiplexed file set
+  (:func:`merge_output_shards`).  Outcome counters are summed across hosts
+  with a collective so every host's logfile reports the global totals.
+  The merged file set is byte-identical to a single-process run's
+  (process-count invariance, asserted by tests/test_multihost.py on a
+  2-process CPU gloo rig).
 
-Calibration and architecture detection are deterministic given ``-seed``,
-so every host computes identical thresholds independently; a broadcast
-would only save duplicated work, not change results.
+Stats, calibration and architecture detection run ONCE on host 0 and are
+broadcast (controller.py:_once_on_host0) — they are deterministic given
+``-seed``, so this saves duplicated work without changing results.
 """
 
 from __future__ import annotations

@@ -216,11 +216,16 @@ def test_decision_margin_audit_psegment(tmp_path):
 
     re_, rs_, rp_ = load(), load(), load()
     score_reads(mb, re_, engine_kind="exact")
+    # STRICT: a raising engine must fail the test, not silently fall back
+    # (a Pallas->scan fallback would make the d_kernel audit below a
+    # scan-vs-scan comparison that is trivially 0 — ADVICE round 3)
     os.environ["TAGDUST_TPU_PALLAS"] = "0"
+    os.environ["TAGDUST_TPU_STRICT"] = "1"
     try:
         score_reads(mb, rs_, engine_kind="tpu")
     finally:
         os.environ.pop("TAGDUST_TPU_PALLAS", None)
+        os.environ.pop("TAGDUST_TPU_STRICT", None)
 
     qe = np.array([r.mapq for r in re_])
     qs = np.array([r.mapq for r in rs_])
@@ -234,10 +239,12 @@ def test_decision_margin_audit_psegment(tmp_path):
     worst = np.argsort(d_scan)[-16:]
     sub = [rp_[i] for i in worst]
     os.environ["TAGDUST_TPU_PALLAS"] = "1"
+    os.environ["TAGDUST_TPU_STRICT"] = "1"
     try:
         score_reads(mb, sub, engine_kind="tpu")
     finally:
         os.environ.pop("TAGDUST_TPU_PALLAS", None)
+        os.environ.pop("TAGDUST_TPU_STRICT", None)
     qp = np.array([r.mapq for r in sub])
     d_kernel = np.abs(qp - qs[worst])
     assert d_kernel.max() < 0.05, (

@@ -1,12 +1,23 @@
-"""Multi-host groundwork (VERDICT round 1, item 8).
+"""Multi-host execution (VERDICT round 1 item 8; round 3 item 1).
 
 Two coordinated `tagdust -multihost` processes (jax.distributed over CPU
-gloo) must together produce exactly the outputs of a single-process run:
-each process owns the chunks with index % nprocs == procid and writes its
-own output shard; the shard union equals the single run (process-count
-invariance), and every host's logfile reports the global outcome totals.
+gloo) must produce exactly the reference's single demultiplexed file set:
+each process owns the chunks with index % nprocs == procid, boundary-skips
+the rest (input-bandwidth sharding), writes its own transient output shard,
+and host 0 interleaves the shards back in global chunk order at the end
+(parallel/multihost.py:merge_output_shards).  Asserted here:
+
+* the merged file set is byte-identical to a single-process run's — no
+  shard unioning, the user-visible contract IS the reference's
+  (io.c:757-1029);
+* the transient ``.h<pid>`` shards and sidecars are removed;
+* host 1 fully parses well under 60% of the input records (the rest are
+  boundary-skipped), i.e. host-side parse bandwidth scales with nprocs;
+* every host reports the GLOBAL outcome totals, host 0 under the
+  reference-named ``<out>_logfile.txt``.
 """
 
+import json
 import os
 import socket
 import subprocess
@@ -31,15 +42,6 @@ def _free_port() -> int:
     return port
 
 
-def _records(path):
-    """FASTQ records as a set of 4-line tuples."""
-    if not os.path.exists(path):
-        return set()
-    with open(path) as fh:
-        lines = fh.read().splitlines()
-    return {tuple(lines[i : i + 4]) for i in range(0, len(lines) - 3, 4)}
-
-
 @requires_dev
 def test_two_process_run_matches_single(tmp_path):
     cwd = str(tmp_path)
@@ -53,7 +55,7 @@ def test_two_process_run_matches_single(tmp_path):
     from conftest import spawn_env
 
     # TAGDUST_TPU_RTEST=1: chunk size 1000 -> 2 chunks, one per host
-    base_env = spawn_env()
+    base_env = spawn_env(TAGDUST_TPU_IO_STATS="1")
     common = ["mh.fq", "-arch", "mh.fq_tagdust_arch.txt", "-Q", "10"]
 
     res = subprocess.run(
@@ -80,6 +82,8 @@ def test_two_process_run_matches_single(tmp_path):
             fh.write(err)
         assert p.returncode == 0, err[-2000:]
 
+    # the user receives the reference's single file set, byte-identical to
+    # a single-process run — NOT per-host shards
     single = sorted(
         f for f in os.listdir(cwd)
         if f.startswith("single_") and f.endswith(".fq")
@@ -87,13 +91,31 @@ def test_two_process_run_matches_single(tmp_path):
     assert single, "no single-run outputs"
     for f in single:
         suffix = f[len("single"):]
-        union = _records(os.path.join(cwd, f"multi.h0{suffix}")) | _records(
-            os.path.join(cwd, f"multi.h1{suffix}")
-        )
-        want = _records(os.path.join(cwd, f))
-        assert union == want, f"{suffix}: shard union != single run"
+        merged = os.path.join(cwd, "multi" + suffix)
+        assert os.path.exists(merged), f"merged output missing: {suffix}"
+        with open(os.path.join(cwd, f), "rb") as fh:
+            want = fh.read()
+        with open(merged, "rb") as fh:
+            got = fh.read()
+        assert got == want, f"{suffix}: merged bytes != single run"
 
-    # both hosts' logfiles report the GLOBAL totals
+    # the transient shards and sidecars were cleaned up by the merge
+    leftovers = [
+        f for f in os.listdir(cwd)
+        if (f.startswith("multi.h0") or f.startswith("multi.h1"))
+        and not f.endswith(("_logfile.txt", ".iostats.json"))
+    ]
+    assert not leftovers, leftovers
+
+    # input-bandwidth sharding: host 1 fully parses < 60% of the records
+    # (its non-owned chunks only pay record-boundary scanning)
+    with open(os.path.join(cwd, "multi.h1.iostats.json")) as fh:
+        io_stats = json.load(fh)
+    assert io_stats["parsed"] + io_stats["skipped"] == 2000, io_stats
+    assert io_stats["parsed"] < 0.6 * 2000, io_stats
+
+    # both hosts' logfiles report the GLOBAL totals; host 0 writes the
+    # reference-named <out>_logfile.txt
     def counters(path):
         with open(path) as fh:
             txt = fh.read()
@@ -106,6 +128,32 @@ def test_two_process_run_matches_single(tmp_path):
 
     want = counters(os.path.join(cwd, "single_logfile.txt"))
     assert want["total input reads"] == 2000
-    for pid in range(2):
-        got = counters(os.path.join(cwd, f"multi.h{pid}_logfile.txt"))
-        assert got == want, (pid, got, want)
+    assert counters(os.path.join(cwd, "multi_logfile.txt")) == want
+    assert counters(os.path.join(cwd, "multi.h1_logfile.txt")) == want
+
+
+def test_skip_chunk_boundary_scan(tmp_path):
+    """skip_chunk advances exactly chunk-sized record windows (identical
+    boundaries to read_chunk_batch) and rejects the same malformed records
+    the parser rejects — a skipping host must abort on the same inputs the
+    owning host aborts on, or a pod run would hang at the next collective."""
+    from tagdust_tpu.io.fastq import SeqReader
+
+    p = tmp_path / "ok.fq"
+    recs = [f"@r{i}\nACGTAC\n+\nIIIIII\n" for i in range(10)]
+    p.write_text("".join(recs))
+
+    r = SeqReader(str(p))
+    assert r.skip_chunk(3) == 3
+    rb = r.read_chunk_batch(3)
+    assert rb.name(0) == "r3"
+    assert r.skip_chunk(100) == 4
+    assert r.records_parsed == 3 and r.records_skipped == 7
+    r.close()
+
+    bad = tmp_path / "bad.fq"
+    bad.write_text("@r0\nACGT\n+\nIII\n")
+    r = SeqReader(str(bad))
+    with pytest.raises(SystemExit):
+        r.skip_chunk(10)
+    r.close()
