@@ -3,10 +3,13 @@ pipeline (read -> score -> extract -> filter -> write), not just the device
 kernel.
 
 Generates (and caches) a simreads input, then times
-`hmm_controller_multiple` exactly as the CLI drives it, with a fixed -Q
-threshold (calibration is a one-time cost amortised over a whole run and
-benchmarked separately).  Prints one JSON line per configuration with every
-trial's wall time.
+`hmm_controller_multiple` exactly as the CLI drives it.  Default: a fixed
+-Q threshold (calibration is a one-time cost amortised over a whole run).
+With --calibration the run uses DEFAULT flags instead — no -Q, so every
+trial pays the reference's 400k-simulated-read threshold calibration
+(calibrateQ.c:47) — and the calibration stage is timed separately inside
+each trial.  Prints one JSON line per configuration with every trial's
+wall time.
 
 The first pass in a process pays three one-time costs that say nothing
 about sustained throughput and are excluded by the warmup run:
@@ -62,16 +65,34 @@ def make_input(n_reads: int, readlen: int, barnum: int) -> str:
     return fq
 
 
-def run_once(fq: str, engine: str, outdir: str) -> dict:
+def run_once(fq: str, engine: str, outdir: str, calibration: bool = False) -> dict:
+    import tagdust_tpu.controller as ctl
     from tagdust_tpu.config import parse_args
     from tagdust_tpu.controller import MessageLog, hmm_controller_multiple
 
     out = os.path.join(outdir, f"bench_{engine}")
-    args = [fq, "-arch", fq + "_tagdust_arch.txt", "-Q", "10", "-o", out]
-    if engine == "tpu":
-        args += ["-engine", "tpu"]
+    args = [fq, "-arch", fq + "_tagdust_arch.txt", "-o", out]
+    if calibration:
+        # default flags: no -Q -> the 400k-sim threshold calibration runs
+        # (calibrateQ.c:47); -seed pins the sim stream so trials compare
+        args += ["-seed", "42"]
+    else:
+        args += ["-Q", "10"]
+    if engine != "auto":
+        args += ["-engine", engine]
     param = parse_args(args)
     log = MessageLog()
+    # time the calibration stage separately inside the run
+    cal_time = [0.0]
+    orig_cal = ctl.estimate_q_threshold
+
+    def timed_cal(*a, **k):
+        t0 = time.perf_counter()
+        r = orig_cal(*a, **k)
+        cal_time[0] += time.perf_counter() - t0
+        return r
+
+    ctl.estimate_q_threshold = timed_cal
     devnull = open(os.devnull, "w")
     old_err, sys.stderr = sys.stderr, devnull  # silence the run log
     try:
@@ -81,12 +102,13 @@ def run_once(fq: str, engine: str, outdir: str) -> dict:
     finally:
         sys.stderr = old_err
         devnull.close()
+        ctl.estimate_q_threshold = orig_cal
     total = 0
     for m in log.messages:
         # "[stamp]\t<N>\ttotal input reads\n"
         if "total input reads" in m:
             total = int(m.split("]", 1)[1].strip().split("\t")[0])
-    return {"seconds": dt, "reads": total}
+    return {"seconds": dt, "reads": total, "calibration_seconds": cal_time[0]}
 
 
 def main():
@@ -95,7 +117,14 @@ def main():
     ap.add_argument("--readlen", type=int, default=50)
     ap.add_argument("--barnum", type=int, default=8)
     ap.add_argument("--trials", type=int, default=3)
-    ap.add_argument("--engine", default="tpu", choices=["tpu", "exact", "both"])
+    ap.add_argument(
+        "--engine", default="tpu", choices=["tpu", "exact", "auto", "both"]
+    )
+    ap.add_argument(
+        "--calibration", action="store_true",
+        help="default-flag runs: no -Q, each trial pays the 400k-sim "
+             "threshold calibration (timed separately)",
+    )
     args = ap.parse_args()
 
     fq = make_input(args.reads, args.readlen, args.barnum)
@@ -105,7 +134,7 @@ def main():
         warmup = None
         for t in range(args.trials + 1):
             with tempfile.TemporaryDirectory() as outdir:
-                r = run_once(fq, engine, outdir)
+                r = run_once(fq, engine, outdir, calibration=args.calibration)
             if t == 0:
                 warmup = round(r["seconds"], 2)
                 continue
@@ -114,8 +143,9 @@ def main():
         reads = trials[0]["reads"]
         best = reads / min(secs)
         med = reads / statistics.median(secs)
-        print(json.dumps({
-            "metric": f"e2e CLI reads/s ({engine} engine, "
+        flags = "default flags incl. calibration" if args.calibration else "-Q 10"
+        rec = {
+            "metric": f"e2e CLI reads/s ({engine} engine, {flags}, "
                       f"{args.barnum}x6nt barcodes, {args.readlen}nt reads)",
             "value": round(med, 1),
             "unit": "reads/s",
@@ -124,7 +154,12 @@ def main():
             "trial_seconds": [round(s, 2) for s in secs],
             "warmup_seconds_excluded": warmup,
             "vs_baseline_single_core_C": round(med / BASELINE_SINGLE_CORE_C, 2),
-        }))
+        }
+        if args.calibration:
+            rec["calibration_seconds"] = [
+                round(r["calibration_seconds"], 2) for r in trials
+            ]
+        print(json.dumps(rec))
         sys.stdout.flush()
 
 

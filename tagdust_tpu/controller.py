@@ -195,7 +195,9 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         thresholds = [0.0] * nfiles
         if not param.confidence_threshold:
             # calibrate on the engine production will score with
-            kind = "tpu" if getattr(param, "engine", "auto") == "tpu" else "exact"
+            from .engine.runner import resolve_engine
+
+            kind = resolve_engine(param)
 
             def _get_prob(mb, seq_list):
                 return run_get_prob(mb, seq_list, engine_kind=kind)

@@ -116,3 +116,30 @@ def test_distributed_trainer_device_count_invariance():
     np.testing.assert_allclose(E1.sum(), float(n1), rtol=1e-4)
     # transition mass: every consumed base crosses exactly one A[c] edge
     np.testing.assert_allclose(CT1.sum(), float(n1), rtol=1e-4)
+
+
+def test_resolve_engine_auto(monkeypatch):
+    """-engine auto selects the device engine iff a non-CPU backend is
+    present; -rtest and explicit -engine pins override (VERDICT r3 item 4)."""
+    import jax
+
+    from tagdust_tpu.config import parse_args
+    from tagdust_tpu.engine import runner
+
+    def fresh(args):
+        runner._RESOLVED_AUTO.clear()
+        return parse_args(["-1", "R:N", *args])
+
+    assert runner.resolve_engine(fresh(["-engine", "tpu"])) == "tpu"
+    assert runner.resolve_engine(fresh(["-engine", "exact"])) == "exact"
+    # this rig pins JAX_PLATFORMS=cpu (conftest) -> auto resolves to exact
+    assert runner.resolve_engine(fresh([])) == "exact"
+    # a non-CPU backend flips auto to the device engine...
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert runner.resolve_engine(fresh([])) == "tpu"
+    # ...except under -rtest, which pins the bit-exact engine
+    assert runner.resolve_engine(fresh(["-rtest"])) == "exact"
+    # explicit -engine tpu under rtest still honors the user
+    p = fresh(["-rtest", "-engine", "tpu"])
+    assert runner.resolve_engine(p) == "tpu"
+    runner._RESOLVED_AUTO.clear()
