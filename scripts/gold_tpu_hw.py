@@ -1,10 +1,14 @@
 """Gold scenarios through the REAL fused Pallas pipeline on TPU hardware.
 
-Runs the dev/bar_read gold scenarios (reference: dev/bar_read_test.sh)
-end-to-end with ``-engine tpu`` on the attached chip — no
-``TAGDUST_TPU_PALLAS=0`` crutch, streaming windows forced small so the
-pipelined dispatch path (and its device-side DUST) is exercised — and holds
-the results to the gold bar:
+Runs ALL the gold scenarios the exact engine passes (reference:
+dev/bar_read_test.sh scenarios 1-4 and the casava-style 3-file stand-in,
+dev/casava_test.sh) end-to-end with ``-engine tpu`` on the attached chip —
+no ``TAGDUST_TPU_PALLAS=0`` crutch, streaming windows forced small so the
+pipelined dispatch path (and its device-side DUST) is exercised.  The
+paired scenarios (barread3/4) resolve their architectures via ``-arch``
+auto-detection, which under ``-engine tpu`` runs the device MODE_ARCH_COMP
+backward sweep (detect.py) — so detection parity is covered on hardware
+too.  Each scenario is held to the gold bar:
 
 * the evalres metrics TSV must equal the reference gold line verbatim;
 * every read must land in the same output file with the same extracted
@@ -55,6 +59,16 @@ GOLD = {
         "8951.00\t48.00\t0.00\t1001.00"
     ),
     "barread2": (
+        "tagdust\t1.0000\t0.9775\t0.9974\t0.9874\t0.0013\t"
+        "8976.00\t23.00\t0.00\t1001.00"
+    ),
+    # paired-end, no barcodes (dev/bar_read_test.sh scenario 3)
+    "barread3": (
+        "tagdust\t1.0000\t1.0000\t1.0000\t1.0000\t0.0017\t"
+        "8999.00\t0.00\t0.00\t1001.00"
+    ),
+    # paired-end with barcodes (scenario 4)
+    "barread4": (
         "tagdust\t1.0000\t0.9775\t0.9974\t0.9874\t0.0013\t"
         "8976.00\t23.00\t0.00\t1001.00"
     ),
@@ -219,6 +233,135 @@ def run_scenario(scenario, results):
     return results
 
 
+def _audit_vs_exact_and_scan(cwd, scenario, args, base_env, results,
+                             dq_exact_bound, tpu_seconds):
+    """Shared tail: decision identity ex==tp==sc, two-part dQ audit,
+    digest + record (args = the tagdust CLI args WITHOUT -engine/-o)."""
+    ex = read_assignment(cwd, "ex_")
+    tp = read_assignment(cwd, "tp_")
+    assert set(ex) == set(tp), f"{scenario}: read-name sets differ"
+    diff = [n for n in ex if ex[n] != tp[n]]
+    assert not diff, (
+        f"{scenario}: {len(diff)} reads decided differently, e.g. {diff[:3]}"
+    )
+    qe = mapq_by_name(cwd, "ex_")
+    qt = mapq_by_name(cwd, "tp_")
+    max_dq = max(abs(qe[n] - qt[n]) for n in qe)
+    assert max_dq < dq_exact_bound, f"{scenario}: max |dQ| = {max_dq}"
+    run_cli(
+        "tagdust", [*args, "-engine", "tpu", "-o", "sc"], cwd,
+        extra_env={**base_env, "TAGDUST_TPU_PALLAS": "0"},
+    )
+    sc = read_assignment(cwd, "sc_")
+    assert set(sc) == set(tp) and not [n for n in sc if sc[n] != tp[n]], (
+        f"{scenario}: scan-flavor decisions differ from pallas"
+    )
+    qs = mapq_by_name(cwd, "sc_")
+    max_dq_kernel = max(abs(qs[n] - qt[n]) for n in qs)
+    assert max_dq_kernel < 0.6, (
+        f"{scenario}: pallas-vs-scan max |dQ| = {max_dq_kernel}"
+    )
+    digest = hashlib.sha256(
+        "".join(f"{n}:{v}" for n, v in sorted(tp.items())).encode()
+    ).hexdigest()
+    results[scenario] = {
+        "gold_tsv": "match",
+        "reads_compared": len(ex),
+        "decision_identity": "exact == pallas == xla-scan",
+        "max_abs_dQ_pallas_vs_exact": round(max_dq, 4),
+        "max_abs_dQ_pallas_vs_scan": round(max_dq_kernel, 4),
+        "output_digest_sha256": digest,
+        "tpu_engine_seconds": round(tpu_seconds, 2),
+    }
+    print(
+        f"{scenario}: OK (|dQ| vs exact {max_dq:.4f}, "
+        f"vs scan {max_dq_kernel:.4f})"
+    )
+
+
+def run_paired_scenario(scenario, results):
+    """barread3/4 (dev/bar_read_test.sh:102-212): paired-end without/with
+    barcodes, architectures resolved by -arch auto-detection — under
+    -engine tpu the detection backward sweep runs on the device too."""
+    barnum = 0 if scenario == "barread3" else 4
+    with tempfile.TemporaryDirectory() as cwd:
+        run_cli(
+            "simreads",
+            [EDITTAG, "-seed", "42", "-sim_barnum", str(barnum),
+             "-sim_5seq", "GGGGGGG", "-sim_3seq", "TTTTTTT",
+             "-sim_readlen", "20", "-sim_readlen_mod", "0",
+             "-sim_numseq", "10000", "-sim_endloss", "0",
+             "-sim_random_frac", "0.1", "-o", "r1.fq",
+             "-sim_error_rate", "0.02"],
+            cwd, extra_env={"TAGDUST_TPU_RTEST": "1"},
+        )
+        run_cli(
+            "simreads",
+            [EDITTAG, "-seed", "42", "-sim_barnum", "0", "-sim_readlen",
+             "20", "-sim_readlen_mod", "0", "-sim_numseq", "10000",
+             "-sim_endloss", "0", "-sim_random_frac", "0.00", "-o", "r2.fq",
+             "-sim_error_rate", "0.02"],
+            cwd, extra_env={"TAGDUST_TPU_RTEST": "1"},
+        )
+        with open(os.path.join(cwd, "combo.txt"), "w") as fh:
+            for p in ("r1.fq_tagdust_arch.txt", "r2.fq_tagdust_arch.txt"):
+                fh.write(open(os.path.join(cwd, p)).read())
+        base_env = {"TAGDUST_TPU_RTEST": "1", "TAGDUST_TPU_STRICT": "1"}
+        args = ["-seed", "42", "-sim_numseq", "1", "r1.fq", "r2.fq",
+                "-arch", "combo.txt"]
+        run_cli("tagdust", [*args, "-o", "ex"], cwd, extra_env=base_env)
+        t0 = time.time()
+        run_cli(
+            "tagdust", [*args, "-engine", "tpu", "-o", "tp"], cwd,
+            extra_env={**base_env, "TAGDUST_TPU_WINDOW": "256"},
+        )
+        tpu_seconds = time.time() - t0
+        outs = sorted(f for f in os.listdir(cwd)
+                      if f.startswith("tp_") and f.endswith("READ1.fq"))
+        run_cli("evalres", ["-name", "tagdust", *outs, "-o", "tp"], cwd,
+                extra_env=base_env)
+        with open(os.path.join(cwd, "tp_results.txt")) as fh:
+            got = fh.read().strip().splitlines()[1]
+        assert got == GOLD[scenario], (
+            f"{scenario}: metrics TSV != gold\n got: {got}\ngold: "
+            f"{GOLD[scenario]}"
+        )
+        # P-linker chains amplify the exact engine's table-logsum effect
+        _audit_vs_exact_and_scan(cwd, scenario, args, base_env, results,
+                                 dq_exact_bound=1.0, tpu_seconds=tpu_seconds)
+
+
+def run_casava_scenario(results):
+    """The casava-style 3-file stand-in (dev/casava_test.sh scenario; the
+    reference's casava_read1/3.fastq.gz blobs are absent from the snapshot
+    — tests/test_casava_style.py pins this synthetic equivalent against a
+    freshly built tagdust_rtest)."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_casava_style import EXPECTED, _make_inputs
+
+    with tempfile.TemporaryDirectory() as cwd:
+        _make_inputs(cwd)
+        base_env = {"TAGDUST_TPU_RTEST": "1", "TAGDUST_TPU_STRICT": "1"}
+        args = ["-seed", "42", "-arch", "cas_arch.txt",
+                "cas_r1.fq", "cas_r2.fq", "cas_r3.fq"]
+        run_cli("tagdust", [*args, "-o", "ex"], cwd, extra_env=base_env)
+        # the exact run must reproduce the frozen reference-verified MD5s
+        for name, md5 in EXPECTED.items():
+            p = os.path.join(cwd, name.replace("out", "ex", 1))
+            got = hashlib.md5(open(p, "rb").read()).hexdigest()
+            assert got == md5, f"casava: {name} md5 {got} != {md5}"
+        t0 = time.time()
+        run_cli(
+            "tagdust", [*args, "-engine", "tpu", "-o", "tp"], cwd,
+            extra_env={**base_env, "TAGDUST_TPU_WINDOW": "256"},
+        )
+        tpu_seconds = time.time() - t0
+        results_key = "casava_style"
+        _audit_vs_exact_and_scan(cwd, results_key, args, base_env, results,
+                                 dq_exact_bound=0.25, tpu_seconds=tpu_seconds)
+        results[results_key]["gold_tsv"] = "md5 (8 files, reference-verified)"
+
+
 def main():
     import jax
 
@@ -230,7 +373,10 @@ def main():
     assert not results["pallas_forced_off"], "run without TAGDUST_TPU_PALLAS=0"
     for scenario in ("barread1", "barread2"):
         run_scenario(scenario, results)
-    out = os.environ.get("GOLD_OUT", os.path.join(REPO, "GOLD_TPU_HW_r03.json"))
+    for scenario in ("barread3", "barread4"):
+        run_paired_scenario(scenario, results)
+    run_casava_scenario(results)
+    out = os.environ.get("GOLD_OUT", os.path.join(REPO, "GOLD_TPU_HW_r04.json"))
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps(results))

@@ -66,22 +66,47 @@ def test_architectures(param, file_num: int, log=None) -> ReadStructure:
         reader.close()
         numseq = len(reads)
         n_arch = len(candidates)
-        engines = [ExactEngine(mb) for _, _, mb in candidates]
 
-        # per-arch b_score for every read (bucketed by length for speed; the
-        # per-read values are independent of batching)
+        from .engine.runner import get_engine, resolve_engine
+
+        kind = resolve_engine(param)
         bscores = np.zeros((n_arch, numseq), dtype=np.float32)
-        buckets = {}
-        for idx, r in enumerate(reads):
-            buckets.setdefault(r.len, []).append(idx)
-        for L, idxs in buckets.items():
-            seqs = np.zeros((len(idxs), L + 1), dtype=np.uint8)
-            for bi, idx in enumerate(idxs):
-                seqs[bi, :L] = reads[idx].seq
-            for a, eng in enumerate(engines):
-                bs = eng.backward_only(seqs, L)
+        if kind == "tpu":
+            # device MODE_ARCH_COMP: one padded [B, Lmax] batch, one masked
+            # backward sweep per candidate on the chip — the detection
+            # pre-pass no longer serializes a TPU run on the host engine
+            # (VERDICT round 3, item 6); the host path below stays the
+            # -rtest / -engine exact parity reference
+            from .engine.runner import _pad_tpu_batch
+
+            lens = np.fromiter(
+                (r.len for r in reads), dtype=np.int32, count=numseq
+            )
+            Lmax = int(lens.max(initial=1))
+            seqs = np.zeros((numseq, Lmax), dtype=np.uint8)
+            for i, r in enumerate(reads):
+                seqs[i, : r.len] = r.seq
+            seqs_p, lens_p = _pad_tpu_batch(seqs, lens)
+            for a, (_, _, mb) in enumerate(candidates):
+                bscores[a] = get_engine(mb, "tpu").backward_scores(
+                    seqs_p, lens_p
+                )[:numseq]
+        else:
+            engines = [ExactEngine(mb) for _, _, mb in candidates]
+
+            # per-arch b_score for every read (bucketed by length for speed;
+            # the per-read values are independent of batching)
+            buckets = {}
+            for idx, r in enumerate(reads):
+                buckets.setdefault(r.len, []).append(idx)
+            for L, idxs in buckets.items():
+                seqs = np.zeros((len(idxs), L + 1), dtype=np.uint8)
                 for bi, idx in enumerate(idxs):
-                    bscores[a, idx] = bs[bi]
+                    seqs[bi, :L] = reads[idx].seq
+                for a, eng in enumerate(engines):
+                    bs = eng.backward_only(seqs, L)
+                    for bi, idx in enumerate(idxs):
+                        bscores[a, idx] = bs[bi]
 
         # float32 slice sums in thread order (barcode_hmm.c:2126-2144, :2000)
         posterior = np.zeros(n_arch, dtype=np.float32)

@@ -59,6 +59,30 @@ def _mxu_precision():
     }[name]
 
 
+def stack_is_bf16(interpret: bool) -> bool:
+    """Store the backward stack in bf16 on real TPUs under DEFAULT
+    precision (override: TAGDUST_TPU_STACK=f32).
+
+    The stack is the kernels' HBM-bandwidth hot spot ((Lp+1)*B*Sp*4 bytes
+    written by the backward kernel and read back by the forward kernel —
+    ~3.2 GB round trip per 16k-read batch on the flagship arch).  Every
+    consumer is an MXU matmul whose inputs DEFAULT precision truncates to
+    bf16 anyway: ``bw @ entsel`` (barcode posterior) sees bit-identical
+    inputs (bf16(bf16(x)) == bf16(x)), so f/r/bar scores and Q are
+    unchanged; only ``(vn*bw) @ Lmap`` (label posteriors) picks up ~2^-9
+    relative rounding on one factor — label decisions stay gold (asserted
+    on 40k+ reads by scripts/gold_tpu_hw.py).  Interpret mode (CPU rigs)
+    and HIGHEST keep f32 so the clean-f32 equivalence tests stay exact.
+    """
+    import jax
+
+    return (
+        not interpret
+        and _mxu_precision() == jax.lax.Precision.DEFAULT
+        and os.environ.get("TAGDUST_TPU_STACK", "bf16") == "bf16"
+    )
+
+
 def make_fused_scorer(
     A: np.ndarray,  # [5, S, S] f32
     Uent: np.ndarray,  # [S, K] base-independent entry rows
@@ -82,6 +106,7 @@ def make_fused_scorer(
     kernel runs the traceback, so the whole per-read pipeline is three Pallas
     kernels with no XLA scans."""
     _PREC = _mxu_precision()
+    _SDT = jnp.bfloat16 if stack_is_bf16(interpret) else jnp.float32
     S = A.shape[1]
     K = Uent.shape[1]
     H = tmatrix.shape[0]
@@ -301,8 +326,9 @@ def make_fused_scorer(
 
         b = b_scr[:, :]
         bls = bls_scr[:, :1]
-        # write bwd[i] (pre-update carry) into slot i = Lp - k
-        bstack_ref[0] = b
+        # write bwd[i] (pre-update carry) into slot i = Lp - k; bf16 on
+        # real TPUs (stack_is_bf16) — the carry itself stays f32 in scratch
+        bstack_ref[0] = b.astype(_SDT)
         blstack_ref[0] = jnp.broadcast_to(bls, (BT, 128))
 
         # dynamic single-lane reads are unsupported on TPU: extract the
@@ -381,7 +407,7 @@ def make_fused_scorer(
                 esel,
             )
         ve = ve_u * esel
-        bw = bstack_ref[0]
+        bw = bstack_ref[0].astype(jnp.float32)
         bls_i = blstack_ref[0][:, :1]
         logpb = logpb_ref[:, :1]
         # clamped like engine/tpu.py: padded steps must not overflow to inf
@@ -543,7 +569,7 @@ def make_fused_scorer(
                 pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((Lp + 1, B, Sp), jnp.float32),
+                jax.ShapeDtypeStruct((Lp + 1, B, Sp), _SDT),
                 jax.ShapeDtypeStruct((Lp + 1, B, 128), jnp.float32),
                 jax.ShapeDtypeStruct((B, 128), jnp.float32),
             ],

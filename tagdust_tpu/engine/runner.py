@@ -113,9 +113,14 @@ def _engine_key(mb: ModelBag, kind: str):
     if dig is None:
         dig = mb._digest_cache = mb.digest()
     if kind == "tpu":
-        # MXU precision is baked into the compiled kernels at build time;
-        # a changed TAGDUST_TPU_PRECISION must not hit stale kernels
-        return (dig, kind, os.environ.get("TAGDUST_TPU_PRECISION", "default"))
+        # MXU precision and the stack dtype are baked into the compiled
+        # kernels at build time; changed env must not hit stale kernels
+        return (
+            dig,
+            kind,
+            os.environ.get("TAGDUST_TPU_PRECISION", "default"),
+            os.environ.get("TAGDUST_TPU_STACK", "bf16"),
+        )
     return (dig, kind)
 
 
@@ -201,12 +206,7 @@ def _run_sharded(scorer, eng, seqs, lens_arr, want_labels):
 
     B, Lp = seqs.shape
     if scorer.use_pallas:
-        dec = eng._grouped_decomposition()
-        if dec is not None:
-            Sp = 128 * len(dec["spans"])
-        else:
-            Sp = (eng.lat.S + 127) // 128 * 128
-        per_read = (Lp + 1) * (Sp + 128) * 4
+        per_read = eng.pallas_stack_bytes_per_read(Lp)
         gran = scorer.n * 256
         max_b = max(gran, eng._PALLAS_STACK_BYTES * scorer.n // per_read
                     // gran * gran)

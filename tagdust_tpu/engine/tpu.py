@@ -223,6 +223,43 @@ def _forward_backward(lat_dev, seqs, lens):
     return f_log, r_log, bar_log, labels, mapq
 
 
+def _backward_scores(lat_dev, seqs, lens):
+    """Backward-only log P(x|M) — the device MODE_ARCH_COMP scorer
+    (do_arch_comparison, barcode_hmm.c:2111-2148): just the backward scan of
+    ``_forward_backward``, no posterior/label work and no per-step stacks,
+    so architecture detection costs one sweep per candidate."""
+    Abwd = lat_dev["Abwd"]
+    end = lat_dev["end"]
+    begin = lat_dev["begin"]
+    S = lat_dev["S"]
+    B, Lpad = seqs.shape
+    pos = jnp.arange(Lpad)
+    active = pos[None, :] < lens[:, None]
+    onehot = jax.nn.one_hot(seqs, 5, dtype=jnp.float32)
+
+    def expand(v, oh):
+        return (oh[:, :, None] * v[:, None, :]).reshape(v.shape[0], 5 * S)
+
+    def bwd_step(carry, x):
+        bv, ls = carry
+        oh, act = x
+        W = expand(bv, oh)
+        bn = W @ Abwd
+        m = jnp.max(bn, axis=1, keepdims=True)
+        m = jnp.where(m > 0, m, 1.0)
+        bn = bn / m
+        nls = ls + jnp.log(m[:, 0])
+        bv = jnp.where(act[:, None], bn, bv)
+        nls = jnp.where(act, nls, ls)
+        return (bv, nls), None
+
+    b0 = jnp.broadcast_to(end[None, :], (B, S))
+    ls0 = jnp.zeros((B,), jnp.float32)
+    xs_b = (jnp.swapaxes(onehot, 0, 1)[::-1], active.T[::-1])
+    (bfin, bls_fin), _ = jax.lax.scan(bwd_step, (b0, ls0), xs_b)
+    return jnp.log(jnp.maximum(bfin[:, begin], 1e-38)) + bls_fin
+
+
 def _q_from_scores(f_log, r_log, bar_log):
     """Q exactly as do_label_thread computes it (barcode_hmm.c:2318-2336):
     p_wrong==0 -> 40, ==1 -> 0, else -10*log10(p_wrong) UNCLAMPED — Q above
@@ -305,6 +342,20 @@ class TpuEngine:
             "bar_fn": bar_fn,
         }
         self._jit = jax.jit(functools.partial(_forward_backward, self._dev))
+
+    def backward_scores(self, seqs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """[B] backward-only log P(x|M) for architecture auto-detection
+        (MODE_ARCH_COMP) — one masked backward sweep on device, no labels,
+        no posterior stack."""
+        if not hasattr(self, "_bscore_jit"):
+            self._bscore_jit = jax.jit(
+                functools.partial(_backward_scores, self._dev)
+            )
+        out = self._bscore_jit(
+            jnp.asarray(seqs.astype(np.int32)),
+            jnp.asarray(lens.astype(np.int32)),
+        )
+        return np.asarray(out)
 
     def run_batch(self, seqs: np.ndarray, lens: np.ndarray) -> TpuBatchResult:
         """seqs [B, Lpad] uint8 (padded with 0), lens [B]."""
@@ -407,12 +458,15 @@ class TpuEngine:
     _PALLAS_STACK_BYTES = 2 << 30
 
     def pallas_stack_bytes_per_read(self, Lp: int) -> int:
+        from .pallas_kernel import stack_is_bf16
+
         dec = self._grouped_decomposition()
         if dec is not None:
             Sp = 128 * len(dec["spans"])
         else:
             Sp = (self.lat.S + 127) // 128 * 128
-        return (Lp + 1) * (Sp + 128) * 4
+        sbytes = 2 if stack_is_bf16(jax.default_backend() == "cpu") else 4
+        return (Lp + 1) * (Sp * sbytes + 128 * 4)
 
     def _get_pallas_packed(self, Lp: int):
         """Jitted variant returning ONE uint8 buffer per batch:

@@ -46,8 +46,11 @@ def test_gold_scenarios_on_tpu_hw(tmp_path):
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     data = json.loads(out.read_text())
     assert "tpu" in data["platform"].lower() or "axon" in data["platform"].lower()
-    for sc in ("barread1", "barread2"):
+    for sc in ("barread1", "barread2", "barread3", "barread4"):
         assert data[sc]["gold_tsv"] == "match"
         assert data[sc]["max_abs_dQ_pallas_vs_scan"] < 0.6
         assert data[sc]["reads_compared"] > 8000
     assert data["barread1"]["max_abs_dQ_pallas_vs_exact"] < 0.15
+    cas = data["casava_style"]
+    assert cas["decision_identity"] == "exact == pallas == xla-scan"
+    assert cas["reads_compared"] > 2500
