@@ -160,7 +160,9 @@ def run_scenario(scenario, results):
                 **base_env,
                 # force the streaming pipelined path on the 1000-read RTEST
                 # chunks so the production dispatch + device DUST run
+                # (BT must stay below the chunk size or streaming disengages)
                 "TAGDUST_TPU_WINDOW": "256",
+                "TAGDUST_TPU_BT": "256",
             },
         )
         tpu_seconds = time.time() - t0
@@ -313,7 +315,8 @@ def run_paired_scenario(scenario, results):
         t0 = time.time()
         run_cli(
             "tagdust", [*args, "-engine", "tpu", "-o", "tp"], cwd,
-            extra_env={**base_env, "TAGDUST_TPU_WINDOW": "256"},
+            extra_env={**base_env, "TAGDUST_TPU_WINDOW": "256",
+                       "TAGDUST_TPU_BT": "256"},
         )
         tpu_seconds = time.time() - t0
         outs = sorted(f for f in os.listdir(cwd)
@@ -353,7 +356,8 @@ def run_casava_scenario(results):
         t0 = time.time()
         run_cli(
             "tagdust", [*args, "-engine", "tpu", "-o", "tp"], cwd,
-            extra_env={**base_env, "TAGDUST_TPU_WINDOW": "256"},
+            extra_env={**base_env, "TAGDUST_TPU_WINDOW": "256",
+                       "TAGDUST_TPU_BT": "256"},
         )
         tpu_seconds = time.time() - t0
         results_key = "casava_style"

@@ -185,7 +185,7 @@ def _mesh_scorer(eng, use_pallas: bool, batch: int):
     if os.environ.get("TAGDUST_TPU_MESH", "1") == "0":
         return None
     n = len(jax.devices())
-    if n < 2 or batch < n * (256 if use_pallas else 1):
+    if n < 2 or batch < n * (eng.default_batch_tile() if use_pallas else 1):
         return None
     cache = getattr(eng, "_mesh_scorers", None)
     if cache is None:
@@ -207,7 +207,7 @@ def _run_sharded(scorer, eng, seqs, lens_arr, want_labels):
     B, Lp = seqs.shape
     if scorer.use_pallas:
         per_read = eng.pallas_stack_bytes_per_read(Lp)
-        gran = scorer.n * 256
+        gran = scorer.n * (scorer.batch_tile or eng.default_batch_tile())
         max_b = max(gran, eng._PALLAS_STACK_BYTES * scorer.n // per_read
                     // gran * gran)
     else:
@@ -472,12 +472,13 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
     if _mesh_scorer(eng, use_pallas, B) is not None:
         return False  # multi-device: the sharded path handles fan-out
     DEPTH = int(os.environ.get("TAGDUST_TPU_PIPELINE_DEPTH", "3"))
+    BT = eng.default_batch_tile()
     per_read = eng.pallas_stack_bytes_per_read(Lpad)
     W = eng._PALLAS_STACK_BYTES // max(DEPTH, 1) // per_read
-    W = int(min(max(W // 256 * 256, 256), 16384))
+    W = int(min(max(W // BT * BT, BT), 16384))
     wenv = os.environ.get("TAGDUST_TPU_WINDOW")
     if wenv:
-        W = max(int(wenv) // 256 * 256, 256)
+        W = max(int(wenv) // BT * BT, BT)
     if B <= W:
         return False  # single window: no overlap to win
 
@@ -485,7 +486,7 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
 
     def _window(s: int, e: int):
         n = e - s
-        Wp = (n + 255) // 256 * 256
+        Wp = (n + BT - 1) // BT * BT
         lens_w = np.ones(Wp, dtype=np.int32)
         if sub:
             off = batch.seq_off[s:e] + matchstart

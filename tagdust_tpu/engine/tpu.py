@@ -23,6 +23,7 @@ masks, so one compiled program serves a whole length bucket.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -371,6 +372,20 @@ class TpuEngine:
         )
 
     # ---------------- fused Pallas path ----------------
+    def default_batch_tile(self) -> int:
+        """Per-dispatch batch tile (BT) for the fused kernels.
+
+        Larger tiles amortize the per-grid-step fixed costs (step dispatch,
+        base extraction, the label-DP VPU ops that scale sub-linearly with
+        BT).  Measured on the chip, flagship arch, Lp=64:
+        BT=256 -> 860k, BT=512 -> 915k, BT=1024 -> 932k reads/s.  CPU
+        interpret mode keeps 256 (tests pad batches to the tile).
+        Override: TAGDUST_TPU_BT."""
+        bt = os.environ.get("TAGDUST_TPU_BT")
+        if bt:
+            return max(int(bt) // 256 * 256, 256)
+        return 256 if jax.default_backend() == "cpu" else 1024
+
     def _grouped_decomposition(self):
         """Block-banded step decomposition for large lattices (the Sp^2
         cliff, VERDICT item 5).  Per step the grouped path issues
@@ -394,7 +409,9 @@ class TpuEngine:
             self._grouped_cache = dec
         return self._grouped_cache
 
-    def _get_pallas(self, Lp: int, BT: int = 256):
+    def _get_pallas(self, Lp: int, BT: Optional[int] = None):
+        if BT is None:
+            BT = self.default_batch_tile()
         key = (Lp, BT)
         if not hasattr(self, "_pallas_cache"):
             self._pallas_cache = {}

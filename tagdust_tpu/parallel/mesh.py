@@ -81,7 +81,9 @@ class ShardedScorer:
         if key in self._cache:
             return self._cache[key]
         if self.use_pallas:
-            _, full, tile = self.engine._get_pallas(Lp, self.batch_tile or 256)
+            _, full, tile = self.engine._get_pallas(
+                Lp, self.batch_tile or self.engine.default_batch_tile()
+            )
 
             def per_shard(seqs, lens, valid, threshold):
                 f_log, r_log, bar_log, labels, mapq = full(seqs, lens)
