@@ -1,6 +1,13 @@
 """Probe: where does the barread2 |dQ| come from?  Compares Q from the
 exact engine vs the XLA-scan flavor (CPU) vs interpret-mode Pallas on the
-barread2 gold scenario, per read.  Diagnostic only."""
+barread2 gold scenario, per read.  Diagnostic only.
+
+``--scenario barread3`` probes the paired scenario's read-1 file instead
+(no barcodes, P linkers on BOTH ends, arch ``P:GGGGGGG R:N P:TTTTTTT``):
+the doubled P chains push the pure table-logsum deviation (clean-f32
+XLA scan vs the exact engine, no Pallas, no bf16) to max |dQ| = 1.6232
+(measured 2026-08-20) — the basis for gold_tpu_hw.py's 2.0 vs-exact
+bound on barread3/4."""
 
 import os
 import sys
@@ -26,9 +33,25 @@ def main():
     from tagdust_tpu.model import init_model_bag
     from tagdust_tpu.stats import get_sequence_stats
 
+    barread3 = "--scenario" in sys.argv and "barread3" in sys.argv
+
     with tempfile.TemporaryDirectory() as cwd:
-        simreads(cwd, "b2.fq", extra=("-sim_5seq", "GGGGGGG",
-                                      "-sim_3seq", "TTTTTTT"))
+        if barread3:
+            # the paired scenario's read-1 file: no barcodes, linkers on
+            # both ends (gold_tpu_hw.py:run_paired_scenario)
+            run_cli(
+                "simreads",
+                [EDITTAG, "-seed", "42", "-sim_barnum", "0",
+                 "-sim_5seq", "GGGGGGG", "-sim_3seq", "TTTTTTT",
+                 "-sim_readlen", "20", "-sim_readlen_mod", "0",
+                 "-sim_numseq", "10000", "-sim_endloss", "0",
+                 "-sim_random_frac", "0.1", "-o", "b2.fq",
+                 "-sim_error_rate", "0.02"],
+                cwd, extra_env={"TAGDUST_TPU_RTEST": "1"},
+            )
+        else:
+            simreads(cwd, "b2.fq", extra=("-sim_5seq", "GGGGGGG",
+                                          "-sim_3seq", "TTTTTTT"))
         path = os.path.join(cwd, "b2.fq")
         arch = os.path.join(cwd, "b2.fq_tagdust_arch.txt")
         with open(arch) as fh:

@@ -74,7 +74,7 @@ GOLD = {
     ),
 }
 
-_RQ = re.compile(r";RQ:[0-9.]+")
+_RQ = re.compile(r";RQ:-?[0-9.]+")  # RQ can be -1.00 (unscored read files)
 
 
 def run_cli(tool, args, cwd, extra_env=None):
@@ -123,7 +123,7 @@ def read_assignment(cwd, prefix):
 
 def mapq_by_name(cwd, prefix):
     out = {}
-    rq = re.compile(r"^(@.*);RQ:([0-9.]+)$")
+    rq = re.compile(r"^(@.*);RQ:(-?[0-9.]+)$")
     for f in sorted(os.listdir(cwd)):
         if not (f.startswith(prefix) and f.endswith(".fq")):
             continue
@@ -176,69 +176,34 @@ def run_scenario(scenario, results):
             f"{scenario}: metrics TSV != gold\n got: {got}\ngold: "
             f"{GOLD[scenario]}"
         )
-        ex = read_assignment(cwd, "ex_")
-        tp = read_assignment(cwd, "tp_")
-        assert set(ex) == set(tp), "read-name sets differ"
-        diff = [n for n in ex if ex[n] != tp[n]]
-        assert not diff, (
-            f"{scenario}: {len(diff)} reads decided differently, "
-            f"e.g. {diff[:3]}"
-        )
-        qe = mapq_by_name(cwd, "ex_")
-        qt = mapq_by_name(cwd, "tp_")
-        max_dq = max(abs(qe[n] - qt[n]) for n in qe)
-        if scenario == "barread1":
-            # table-logsum effect is small here: hold the tight bound
-            assert max_dq < 0.15, f"{scenario}: max |dQ| = {max_dq}"
-        else:
-            # barread2's P-linker chains amplify the exact engine's TABLE
-            # logsum approximation to ~0.64 even vs clean CPU f32 math
-            # (dq_probe.py) — record, and bound loosely
-            assert max_dq < 1.0, f"{scenario}: max |dQ| = {max_dq}"
-
-        # kernel-isolated audit: the scan flavor on the SAME chip computes
-        # the same clean-f32 math through XLA; Pallas must match it tightly
-        run_cli(
-            "tagdust",
-            ["-seed", "42", f"{scenario}.fq", "-arch", arch,
-             "-engine", "tpu", "-o", "sc"],
-            cwd,
-            extra_env={**base_env, "TAGDUST_TPU_PALLAS": "0"},
-        )
-        sc = read_assignment(cwd, "sc_")
-        assert set(sc) == set(tp) and not [n for n in sc if sc[n] != tp[n]], (
-            f"{scenario}: scan-flavor decisions differ from pallas"
-        )
-        qs = mapq_by_name(cwd, "sc_")
-        max_dq_kernel = max(abs(qs[n] - qt[n]) for n in qs)
-        # both sides run bf16 MXU inputs; measured 0.43 on barread2 (the
-        # two step formulations truncate differently), ~0.1 on barread1
-        assert max_dq_kernel < 0.6, (
-            f"{scenario}: pallas-vs-scan max |dQ| = {max_dq_kernel}"
-        )
-        digest = hashlib.sha256(
-            "".join(f"{n}:{v}" for n, v in sorted(tp.items())).encode()
-        ).hexdigest()
-        results[scenario] = {
-            "gold_tsv": "match",
-            "reads_compared": len(ex),
-            "decision_identity": "exact == pallas == xla-scan",
-            "max_abs_dQ_pallas_vs_exact": round(max_dq, 4),
-            "max_abs_dQ_pallas_vs_scan": round(max_dq_kernel, 4),
-            "output_digest_sha256": digest,
-            "tpu_engine_seconds": round(tpu_seconds, 2),
-        }
-        print(
-            f"{scenario}: OK (|dQ| vs exact {max_dq:.4f}, "
-            f"vs scan {max_dq_kernel:.4f})"
+        # barread1: table-logsum effect is small, hold the tight bound.
+        # barread2: the P-linker chains amplify the exact engine's TABLE
+        # logsum approximation to ~0.64 even vs clean CPU f32 math
+        # (dq_probe.py) — bound loosely; the pallas-vs-scan bound inside
+        # the helper is the kernel-isolated pin.
+        _audit_vs_exact_and_scan(
+            cwd, scenario,
+            ["-seed", "42", f"{scenario}.fq", "-arch", arch],
+            base_env, results,
+            dq_exact_bound=0.15 if scenario == "barread1" else 1.0,
+            tpu_seconds=tpu_seconds,
         )
     return results
 
 
 def _audit_vs_exact_and_scan(cwd, scenario, args, base_env, results,
-                             dq_exact_bound, tpu_seconds):
+                             dq_exact_bound, tpu_seconds,
+                             dq_kernel_bound=0.6, f32_pin=False):
     """Shared tail: decision identity ex==tp==sc, two-part dQ audit,
-    digest + record (args = the tagdust CLI args WITHOUT -engine/-o)."""
+    digest + record (args = the tagdust CLI args WITHOUT -engine/-o).
+
+    ``f32_pin=True`` adds a third leg: BOTH device flavors re-run with
+    TAGDUST_TPU_PRECISION=highest (f32-clean MXU math in the Pallas
+    kernels AND the XLA scan, engine/tpu.py:_f32_precision_wrap) and
+    must agree to < 0.15 — on P-chain-heavy architectures the
+    default-precision pallas-vs-scan delta is dominated by how the two
+    formulations truncate bf16 MXU inputs, so this pin is what shows the
+    kernel FORMULATION is right on the chip."""
     ex = read_assignment(cwd, "ex_")
     tp = read_assignment(cwd, "tp_")
     assert set(ex) == set(tp), f"{scenario}: read-name sets differ"
@@ -260,7 +225,7 @@ def _audit_vs_exact_and_scan(cwd, scenario, args, base_env, results,
     )
     qs = mapq_by_name(cwd, "sc_")
     max_dq_kernel = max(abs(qs[n] - qt[n]) for n in qs)
-    assert max_dq_kernel < 0.6, (
+    assert max_dq_kernel < dq_kernel_bound, (
         f"{scenario}: pallas-vs-scan max |dQ| = {max_dq_kernel}"
     )
     digest = hashlib.sha256(
@@ -275,9 +240,31 @@ def _audit_vs_exact_and_scan(cwd, scenario, args, base_env, results,
         "output_digest_sha256": digest,
         "tpu_engine_seconds": round(tpu_seconds, 2),
     }
+    if f32_pin:
+        hi = {"TAGDUST_TPU_PRECISION": "highest"}
+        run_cli("tagdust", [*args, "-engine", "tpu", "-o", "hp"], cwd,
+                extra_env={**base_env, **hi})
+        run_cli("tagdust", [*args, "-engine", "tpu", "-o", "hs"], cwd,
+                extra_env={**base_env, **hi, "TAGDUST_TPU_PALLAS": "0"})
+        hp = read_assignment(cwd, "hp_")
+        hs = read_assignment(cwd, "hs_")
+        assert set(hp) == set(hs) and not [n for n in hp if hp[n] != hs[n]], (
+            f"{scenario}: f32 pallas/scan decisions differ"
+        )
+        qhp = mapq_by_name(cwd, "hp_")
+        qhs = mapq_by_name(cwd, "hs_")
+        max_dq_f32 = max(abs(qhp[n] - qhs[n]) for n in qhp)
+        assert max_dq_f32 < 0.15, (
+            f"{scenario}: f32-pinned pallas-vs-scan max |dQ| = {max_dq_f32}"
+        )
+        results[scenario]["max_abs_dQ_pallas_vs_scan_f32"] = round(
+            max_dq_f32, 4
+        )
     print(
         f"{scenario}: OK (|dQ| vs exact {max_dq:.4f}, "
-        f"vs scan {max_dq_kernel:.4f})"
+        f"vs scan {max_dq_kernel:.4f}"
+        + (f", f32-pinned {results[scenario]['max_abs_dQ_pallas_vs_scan_f32']:.4f})"
+           if f32_pin else ")")
     )
 
 
@@ -329,9 +316,18 @@ def run_paired_scenario(scenario, results):
             f"{scenario}: metrics TSV != gold\n got: {got}\ngold: "
             f"{GOLD[scenario]}"
         )
-        # P-linker chains amplify the exact engine's table-logsum effect
+        # The 5' AND 3' P-linker chains amplify BOTH approximation gaps:
+        # the exact engine's table-logsum reaches max |dQ| = 1.6232 vs
+        # clean CPU f32 on this very input (dq_probe.py --scenario
+        # barread3, measured 2026-08-20), and the two device
+        # formulations' bf16-MXU truncation differences reach ~1.08
+        # (measured on-chip same day) — so the default-precision bounds
+        # are 2.0 / 1.5 here, and the kernel-correctness pin is the
+        # f32_pin leg: pallas vs scan BOTH at TAGDUST_TPU_PRECISION=
+        # highest must agree < 0.15 on the chip.
         _audit_vs_exact_and_scan(cwd, scenario, args, base_env, results,
-                                 dq_exact_bound=1.0, tpu_seconds=tpu_seconds)
+                                 dq_exact_bound=2.0, tpu_seconds=tpu_seconds,
+                                 dq_kernel_bound=1.5, f32_pin=True)
 
 
 def run_casava_scenario(results):

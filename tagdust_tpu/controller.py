@@ -268,19 +268,32 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         # owned by another host — only record-boundary scanning is paid for
         # it (SeqReader.skip_chunk -> td_skip_fastq), the cross-host
         # analogue of the reference's per-thread slice ownership
-        # (barcode_hmm.c:1911-1922).  Chunk 0 is parsed on EVERY host when
-        # there are multiple input files so the read-name pairing check can
-        # run (and fail) symmetrically on all hosts.
+        # (barcode_hmm.c:1911-1922).  When there are multiple input files,
+        # every host parses the HEAD of chunk 0 (the <=1000 records the
+        # read-name pairing check compares) and boundary-skips the rest, so
+        # the check can fail symmetrically on all hosts without non-owners
+        # paying a full-chunk parse (arena copies + nuc encoding).
         try:
             cidx = 0
             while not stop.is_set():
                 own = nproc == 1 or cidx % nproc == pid
-                if own or (cidx == 0 and nfiles > 1):
+                if own:
                     chunks = [
                         readers[i].read_chunk_batch(read_chunk)
                         for i in range(nfiles)
                     ]
                     counts = [c.B for c in chunks]
+                elif cidx == 0 and nfiles > 1:
+                    head = min(1000, read_chunk)
+                    chunks = [
+                        readers[i].read_chunk_batch(head)
+                        for i in range(nfiles)
+                    ]
+                    counts = [
+                        c.B + (readers[i].skip_chunk(read_chunk - head)
+                               if read_chunk > head else 0)
+                        for i, c in enumerate(chunks)
+                    ]
                 else:
                     chunks = None
                     counts = [

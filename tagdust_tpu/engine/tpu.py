@@ -103,6 +103,47 @@ def dust_scores_device(seqs, labels, lens, is_r_label):
     return jnp.stack([d_ext, d_raw], axis=1)
 
 
+def _expand(v, oh, S):
+    """[B,S] x [B,5] -> [B, 5S] with layout (c, s)."""
+    return (oh[:, :, None] * v[:, None, :]).reshape(v.shape[0], 5 * S)
+
+
+def backward_scan(Abwd, end, S, onehot, active, with_stack):
+    """THE rescaled backward recurrence over the closure lattice — the one
+    definition shared by the production scorer (_forward_backward), the
+    detection scorer (_backward_scores) and the distributed Baum-Welch
+    counts (parallel/mesh.py) so a numerics change (the m>0 clamp, the
+    1e-38 floor) can never diverge between them.
+
+    Returns (bfin, bls_fin, bwd_stack, bls_stack); the stacks are None
+    when ``with_stack`` is False (score-only consumers skip the HBM
+    round trip)."""
+    B = onehot.shape[0]
+
+    def bwd_step(carry, x):
+        bv, ls = carry  # [B,S], [B]
+        oh, act = x
+        bn = _expand(bv, oh, S) @ Abwd  # [B,S]
+        m = jnp.max(bn, axis=1, keepdims=True)
+        m = jnp.where(m > 0, m, 1.0)
+        bn = bn / m
+        nls = ls + jnp.log(m[:, 0])
+        bv = jnp.where(act[:, None], bn, bv)
+        nls = jnp.where(act, nls, ls)
+        return (bv, nls), ((bv, nls) if with_stack else None)
+
+    b0 = jnp.broadcast_to(end[None, :], (B, S))
+    ls0 = jnp.zeros((B,), jnp.float32)
+    xs_b = (jnp.swapaxes(onehot, 0, 1)[::-1], active.T[::-1])
+    (bfin, bls_fin), ys = jax.lax.scan(bwd_step, (b0, ls0), xs_b)
+    if not with_stack:
+        return bfin, bls_fin, None, None
+    bstack, blstack = ys
+    bwd_stack = jnp.concatenate([bstack[::-1][1:], b0[None, :, :]], axis=0)
+    bls_stack = jnp.concatenate([blstack[::-1][1:], ls0[None, :]], axis=0)
+    return bfin, bls_fin, bwd_stack, bls_stack
+
+
 def _forward_backward(lat_dev, seqs, lens):
     """Core jitted computation. seqs [B, Lpad] int32, lens [B] int32."""
     Afwd = lat_dev["Afwd"]  # [5S, S+K]  (fused A | Aent)
@@ -125,29 +166,13 @@ def _forward_backward(lat_dev, seqs, lens):
     onehot = jax.nn.one_hot(seqs, 5, dtype=jnp.float32)  # [B, Lpad, 5]
 
     def expand(v, oh):
-        # [B,S] x [B,5] -> [B, 5S] with layout (c, s)
-        return (oh[:, :, None] * v[:, None, :]).reshape(v.shape[0], 5 * S)
+        return _expand(v, oh, S)
 
     # ---------------- backward scan (reversed) ----------------
-    def bwd_step(carry, x):
-        bv, ls = carry  # [B,S], [B]
-        oh, act = x
-        W = expand(bv, oh)
-        bn = W @ Abwd  # [B,S]
-        m = jnp.max(bn, axis=1, keepdims=True)
-        m = jnp.where(m > 0, m, 1.0)
-        bn = bn / m
-        nls = ls + jnp.log(m[:, 0])
-        bv = jnp.where(act[:, None], bn, bv)
-        nls = jnp.where(act, nls, ls)
-        return (bv, nls), (bv, nls)
-
-    b0 = jnp.broadcast_to(end[None, :], (B, S))
-    ls0 = jnp.zeros((B,), jnp.float32)
-    xs_b = (jnp.swapaxes(onehot, 0, 1)[::-1], active.T[::-1])
-    (bfin, bls_fin), (bstack, blstack) = jax.lax.scan(bwd_step, (b0, ls0), xs_b)
-    bwd_stack = jnp.concatenate([bstack[::-1][1:], b0[None, :, :]], axis=0)
-    bls_stack = jnp.concatenate([blstack[::-1][1:], ls0[None, :]], axis=0)
+    bfin, bls_fin, bwd_stack, bls_stack = backward_scan(
+        Abwd, end, S, onehot, active, with_stack=True
+    )
+    ls0 = jnp.zeros((B,), jnp.float32)  # forward scan's initial log-scale
 
     logP_b = jnp.log(jnp.maximum(bfin[:, begin], 1e-38)) + bls_fin
 
@@ -238,27 +263,29 @@ def _backward_scores(lat_dev, seqs, lens):
     active = pos[None, :] < lens[:, None]
     onehot = jax.nn.one_hot(seqs, 5, dtype=jnp.float32)
 
-    def expand(v, oh):
-        return (oh[:, :, None] * v[:, None, :]).reshape(v.shape[0], 5 * S)
-
-    def bwd_step(carry, x):
-        bv, ls = carry
-        oh, act = x
-        W = expand(bv, oh)
-        bn = W @ Abwd
-        m = jnp.max(bn, axis=1, keepdims=True)
-        m = jnp.where(m > 0, m, 1.0)
-        bn = bn / m
-        nls = ls + jnp.log(m[:, 0])
-        bv = jnp.where(act[:, None], bn, bv)
-        nls = jnp.where(act, nls, ls)
-        return (bv, nls), None
-
-    b0 = jnp.broadcast_to(end[None, :], (B, S))
-    ls0 = jnp.zeros((B,), jnp.float32)
-    xs_b = (jnp.swapaxes(onehot, 0, 1)[::-1], active.T[::-1])
-    (bfin, bls_fin), _ = jax.lax.scan(bwd_step, (b0, ls0), xs_b)
+    bfin, bls_fin, _, _ = backward_scan(
+        Abwd, end, S, onehot, active, with_stack=False
+    )
     return jnp.log(jnp.maximum(bfin[:, begin], 1e-38)) + bls_fin
+
+
+def _f32_precision_wrap(fn):
+    """Make the XLA-scan flavor honor TAGDUST_TPU_PRECISION like the
+    Pallas kernels do (pallas_kernel._mxu_precision): under
+    "high"/"highest" every jnp matmul traced inside `fn` runs f32-clean
+    instead of the TPU default bf16-input passes.  This is what lets
+    scripts/gold_tpu_hw.py pin pallas-vs-scan agreement at f32 ON THE
+    CHIP, separating kernel-formulation error from bf16 truncation."""
+    name = os.environ.get("TAGDUST_TPU_PRECISION", "default").lower()
+    if name not in ("high", "highest"):
+        return fn
+
+    @functools.wraps(fn)
+    def wrapped(*args):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args)
+
+    return wrapped
 
 
 def _q_from_scores(f_log, r_log, bar_log):
@@ -342,7 +369,9 @@ class TpuEngine:
             "K": K,
             "bar_fn": bar_fn,
         }
-        self._jit = jax.jit(functools.partial(_forward_backward, self._dev))
+        self._jit = jax.jit(
+            _f32_precision_wrap(functools.partial(_forward_backward, self._dev))
+        )
 
     def backward_scores(self, seqs: np.ndarray, lens: np.ndarray) -> np.ndarray:
         """[B] backward-only log P(x|M) for architecture auto-detection
@@ -350,7 +379,9 @@ class TpuEngine:
         no posterior stack."""
         if not hasattr(self, "_bscore_jit"):
             self._bscore_jit = jax.jit(
-                functools.partial(_backward_scores, self._dev)
+                _f32_precision_wrap(
+                    functools.partial(_backward_scores, self._dev)
+                )
             )
         out = self._bscore_jit(
             jnp.asarray(seqs.astype(np.int32)),
@@ -467,7 +498,9 @@ class TpuEngine:
 
             # cache the raw fn too: parallel/mesh.py wraps it per-shard
             # under shard_map (the jit there happens around the shard_map)
-            self._pallas_cache[key] = (jax.jit(full), full, BT)
+            self._pallas_cache[key] = (
+                jax.jit(_f32_precision_wrap(full)), full, BT
+            )
         return self._pallas_cache[key]
 
     # HBM budget for the backward stack ((Lp+1) * B * (Sp+128) * 4 bytes):
@@ -493,11 +526,15 @@ class TpuEngine:
         trip (~26ms on this rig's tunnel) REGARDLESS of size; fetching one
         packed array instead of five cuts the per-window result latency 5x.
         """
-        key = ("packed", Lp)
+        # BT is env-overridable (TAGDUST_TPU_BT) and backend-dependent, so
+        # the cache key must carry it: a stale packed fn with a different
+        # tile would reject (or mis-pad) freshly computed windows
+        BT = self.default_batch_tile()
+        key = ("packed", Lp, BT)
         if not hasattr(self, "_pallas_cache"):
             self._pallas_cache = {}
         if key not in self._pallas_cache:
-            _, full, BT = self._get_pallas(Lp)
+            _, full, _BT = self._get_pallas(Lp, BT)
             is_r = self._is_r_label()
 
             def full_packed(seqs_u8, lens):
@@ -523,7 +560,9 @@ class TpuEngine:
             n_labels = int(np.asarray(self._dev["Lmap"]).shape[1])
             if n_labels + 1 > 127:
                 lab_bytes = 4
-            self._pallas_cache[key] = (jax.jit(full_packed), lab_bytes, BT)
+            self._pallas_cache[key] = (
+                jax.jit(_f32_precision_wrap(full_packed)), lab_bytes, BT
+            )
         return self._pallas_cache[key]
 
     def dispatch_pallas(self, seqs: np.ndarray, lens: np.ndarray):
@@ -586,12 +625,7 @@ class TpuEngine:
         consume scores."""
         B, Lp = seqs.shape
         fullfn, _, BT = self._get_pallas(Lp)
-        dec = self._grouped_decomposition()
-        if dec is not None:
-            Sp = 128 * len(dec["spans"])  # grouped layout width
-        else:
-            Sp = (self.lat.S + 127) // 128 * 128
-        max_b = self._PALLAS_STACK_BYTES // ((Lp + 1) * (Sp + 128) * 4)
+        max_b = self._PALLAS_STACK_BYTES // self.pallas_stack_bytes_per_read(Lp)
         max_b = max(BT, max_b // BT * BT)
         pad = (-B) % BT
         if pad:

@@ -168,27 +168,16 @@ def _expected_lattice_counts(lat_dev, seqs, lens):
     active = pos[None, :] < lens[:, None]
     onehot = jax.nn.one_hot(seqs, 5, dtype=jnp.float32)
 
+    from ..engine.tpu import _expand, backward_scan
+
     def expand(v, oh):
-        return (oh[:, :, None] * v[:, None, :]).reshape(v.shape[0], 5 * S)
+        return _expand(v, oh, S)
 
-    def bwd_step(carry, x):
-        bv, ls = carry
-        oh, act = x
-        bn = expand(bv, oh) @ Abwd
-        m = jnp.max(bn, axis=1, keepdims=True)
-        m = jnp.where(m > 0, m, 1.0)
-        bn = bn / m
-        nls = ls + jnp.log(m[:, 0])
-        bv = jnp.where(act[:, None], bn, bv)
-        nls = jnp.where(act, nls, ls)
-        return (bv, nls), (bv, nls)
-
-    b0 = jnp.broadcast_to(end[None, :], (B, S))
-    ls0 = jnp.zeros((B,), jnp.float32)
-    xs_b = (jnp.swapaxes(onehot, 0, 1)[::-1], active.T[::-1])
-    (bfin, bls_fin), (bstack, blstack) = jax.lax.scan(bwd_step, (b0, ls0), xs_b)
-    bwd_stack = jnp.concatenate([bstack[::-1][1:], b0[None, :, :]], axis=0)
-    bls_stack = jnp.concatenate([blstack[::-1][1:], ls0[None, :]], axis=0)
+    # the ONE shared backward recurrence (engine/tpu.py:backward_scan) —
+    # training counts see bit-the-same backward values as production scores
+    bfin, bls_fin, bwd_stack, bls_stack = backward_scan(
+        Abwd, end, S, onehot, active, with_stack=True
+    )
     logP = jnp.log(jnp.maximum(bfin[:, begin], 1e-38)) + bls_fin
 
     def kahan_add(acc, comp, inc):
@@ -221,6 +210,7 @@ def _expected_lattice_counts(lat_dev, seqs, lens):
         return (v, ls, CT, CTc, E, Ec), None
 
     v0 = jnp.zeros((B, S), jnp.float32).at[:, begin].set(1.0)
+    ls0 = jnp.zeros((B,), jnp.float32)
     CT0 = jnp.zeros((5, S, S), jnp.float32)
     E0 = jnp.zeros((5, S), jnp.float32)
     xs_f = (jnp.swapaxes(onehot, 0, 1), active.T, bwd_stack, bls_stack)

@@ -26,6 +26,7 @@ broadcast (controller.py:_once_on_host0) — they are deterministic given
 
 from __future__ import annotations
 
+import sys
 from typing import Optional
 
 
@@ -147,6 +148,40 @@ def broadcast_obj(obj, is_source: bool):
     return pickle.loads(buf.tobytes())
 
 
+def _barrier_with_timeout(name: str, timeout_s: float) -> None:
+    """Cross-host barrier that FAILS LOUDLY instead of hanging forever.
+
+    A host that died before reaching the barrier (malformed input aborts
+    are made symmetric upstream, but output errors — ENOSPC in the writer
+    thread, say — kill only the owning host) must not leave the survivors
+    blocked in an untimed collective.  The coordination-service barrier
+    carries an explicit timeout and also errors out early when the
+    coordinator declares a peer dead (missed heartbeats), either way
+    surfacing a SystemExit with the barrier name.  Falls back to
+    ``sync_global_devices`` when the distributed client is unreachable
+    (private-API drift) — that path keeps the old untimed behavior."""
+    try:
+        from jax._src import distributed as _dist
+
+        client = _dist.global_state.client
+    except Exception:  # noqa: BLE001 — private-API drift
+        client = None
+    if client is not None:
+        try:
+            client.wait_at_barrier(name, int(timeout_s * 1000))
+        except Exception as e:  # noqa: BLE001 — timeout or dead peer
+            sys.stderr.write(
+                f"[ERROR]\tcross-host barrier '{name}' failed after "
+                f"{timeout_s:.0f}s — a peer process likely died "
+                f"(its logfile has the original error): {e}\n"
+            )
+            raise SystemExit(1)
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def merge_output_shards(base_outfile: str, pid: int, nproc: int) -> None:
     """Interleave the per-host output shards back into the reference's
     single demultiplexed file set (io.c:757-1029 contract).
@@ -158,13 +193,16 @@ def merge_output_shards(base_outfile: str, pid: int, nproc: int) -> None:
     the merged bytes equal a single-process run's exactly, then removes
     the shards.  Requires the hosts to share a filesystem (true on pods
     with a shared scratch; per-host object stores need a gather step
-    instead)."""
+    instead).
+
+    The barrier times out (``TAGDUST_TPU_BARRIER_TIMEOUT_S``, default
+    900 s) so an asymmetric host death fails the run loudly rather than
+    hanging the pod."""
     import json
     import os
 
-    from jax.experimental import multihost_utils
-
-    multihost_utils.sync_global_devices("tagdust:shards-written")
+    timeout_s = float(os.environ.get("TAGDUST_TPU_BARRIER_TIMEOUT_S", "900"))
+    _barrier_with_timeout("tagdust:shards-written", timeout_s)
     if pid != 0:
         return
     shards = []
