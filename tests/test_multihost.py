@@ -157,3 +157,78 @@ def test_skip_chunk_boundary_scan(tmp_path):
     with pytest.raises(SystemExit):
         r.skip_chunk(10)
     r.close()
+
+
+@requires_dev
+def test_two_file_paired_head_parse(tmp_path):
+    """Paired-file multi-host: non-owning hosts parse only the <=1000-record
+    HEAD of chunk 0 (what the read-name pairing check compares) and
+    boundary-skip the rest — a 16-host pod must not pay a full-chunk parse
+    per host just to run a 1000-name check (code-review round 4)."""
+    cwd = str(tmp_path)
+    common_sim = [
+        EDITTAG, "-seed", "42", "-sim_readlen", "20",
+        "-sim_readlen_mod", "0", "-sim_numseq", "4000", "-sim_endloss", "0",
+        "-sim_random_frac", "0.1", "-sim_error_rate", "0.02",
+    ]
+    run_tool("simreads", [*common_sim, "-sim_barnum", "4", "-o", "p1.fq"], cwd)
+    run_tool("simreads", [*common_sim, "-sim_barnum", "0", "-o", "p2.fq"], cwd)
+    with open(os.path.join(cwd, "combo.txt"), "w") as fh:
+        for p in ("p1.fq_tagdust_arch.txt", "p2.fq_tagdust_arch.txt"):
+            fh.write(open(os.path.join(cwd, p)).read())
+
+    from conftest import spawn_env
+
+    # NON-rtest so TAGDUST_TPU_CHUNK applies: 2000-record chunks, 4000
+    # records -> chunks {0,1}; host 1 owns chunk 1 only.
+    base_env = spawn_env(
+        rtest=False, TAGDUST_TPU_IO_STATS="1", TAGDUST_TPU_CHUNK="2000"
+    )
+    common = ["p1.fq", "p2.fq", "-arch", "combo.txt", "-Q", "10",
+              "-seed", "42"]
+
+    res = subprocess.run(
+        [sys.executable, "-m", "tagdust_tpu.cli.tagdust", *common,
+         "-o", "sgl"],
+        cwd=cwd, env=base_env, capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "tagdust_tpu.cli.tagdust", *common,
+             "-o", "mlt", "-multihost",
+             "-coordinator", f"127.0.0.1:{port}",
+             "-nprocs", "2", "-procid", str(pid)],
+            cwd=cwd, env=base_env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+
+    # merged file set byte-identical to the single-process run
+    single = sorted(
+        f for f in os.listdir(cwd)
+        if f.startswith("sgl_") and f.endswith(".fq")
+    )
+    assert single, "no single-run outputs"
+    for f in single:
+        suffix = f[len("sgl"):]
+        merged = os.path.join(cwd, "mlt" + suffix)
+        assert os.path.exists(merged), f"merged output missing: {suffix}"
+        assert (
+            open(os.path.join(cwd, f), "rb").read()
+            == open(merged, "rb").read()
+        ), f"{suffix}: merged bytes != single run"
+
+    # 4000 records/file: host 1 parses the 1000-record chunk-0 head of
+    # each file plus its owned chunk 1 (2000) and boundary-skips the
+    # remaining 1000 of chunk 0
+    with open(os.path.join(cwd, "mlt.h1.iostats.json")) as fh:
+        st = json.load(fh)
+    assert st["parsed"] + st["skipped"] == 2 * 4000, st
+    # head (1000) + owned chunk 1 (2000) per file = 6000 parsed total
+    assert st["parsed"] == 2 * 3000, st
