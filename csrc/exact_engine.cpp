@@ -447,11 +447,11 @@ static inline int my_rand(uint32_t* state) {
 }
 
 // emit a sequence from the background random model
-// (reference barcode_hmm.c:2599-2680); returns new rng state
-uint32_t td_emit_random(const float* background, uint32_t state, int avg_len,
-                        uint8_t* out, int cap, int* out_len) {
-    td_init();
-    double r = (double)((float)my_rand(&state) / 32768.0f);
+// (reference barcode_hmm.c:2599-2680); advances *state in place
+static void emit_random_core(const float* background, uint32_t* state,
+                             int avg_len, uint8_t* out, int cap,
+                             int* out_len) {
+    double r = (double)((float)my_rand(state) / 32768.0f);
     int cl = 0;
     double cont = 1.0 - (1.0 / (double)(float)avg_len);
     while (cl < avg_len) {
@@ -465,24 +465,46 @@ uint32_t td_emit_random(const float* background, uint32_t state, int avg_len,
                     break;
                 }
             }
-            r = (double)((float)my_rand(&state) / 32768.0f);
+            r = (double)((float)my_rand(state) / 32768.0f);
             if (r > cont) break;
         }
         if (cl < avg_len) cl = 0;
     }
     *out_len = cl;
+}
+
+uint32_t td_emit_random(const float* background, uint32_t state, int avg_len,
+                        uint8_t* out, int cap, int* out_len) {
+    td_init();
+    emit_random_core(background, &state, avg_len, out, cap, out_len);
+    return state;
+}
+
+// batched emission: one call emits n reads into out[n*cap] rows, storing
+// each read's true length in out_lens[k] (bases past cap are counted, not
+// written) and the rng state AT ENTRY of read k in entry_states[k] — a
+// truncated outlier can be re-emitted alone from its entry state without
+// disturbing the draw-for-draw LCG parity of the rest of the batch.
+// 400k single-read ctypes calls cost ~24s of every default-flag run; one
+// call per 32k-read slab removes that entirely.
+uint32_t td_emit_random_batch(const float* background, uint32_t state,
+                              int avg_len, int n, uint8_t* out, int cap,
+                              int* out_lens, uint32_t* entry_states) {
+    td_init();
+    for (int k = 0; k < n; k++) {
+        entry_states[k] = state;
+        emit_random_core(background, &state, avg_len, out + (size_t)k * cap,
+                         cap, out_lens + k);
+    }
     return state;
 }
 
 // emit a sequence generatively from the architecture HMM
-// (reference barcode_hmm.c:2696-3046); returns new rng state
-uint32_t td_emit_read(int nm, const int* H, const int* C, const float* skip,
-                      const float* trans, const float* me, const float* ie,
-                      const float* s2M, const float* s2I, uint32_t state,
-                      int avg_len, uint8_t* out, int cap, int* out_len) {
-    td_init();
-    Model m = build_model(nm, H, C, skip, trans, me, ie, s2M, s2I, nullptr,
-                          nullptr, 0, avg_len, nullptr);
+// (reference barcode_hmm.c:2696-3046); advances *state in place
+static void emit_read_core(const Model& m, int nm, uint32_t* stptr,
+                           int avg_len, uint8_t* out, int cap,
+                           int* out_len) {
+    uint32_t state = *stptr;
     (void)my_rand(&state);  // entry draw, unused (:2721)
     int cl = 0;
     while (cl < avg_len) {
@@ -580,6 +602,35 @@ uint32_t td_emit_read(int nm, const int* H, const int* C, const float* skip,
         if (cl < avg_len) cl = 0;
     }
     *out_len = cl;
+    *stptr = state;
+}
+
+uint32_t td_emit_read(int nm, const int* H, const int* C, const float* skip,
+                      const float* trans, const float* me, const float* ie,
+                      const float* s2M, const float* s2I, uint32_t state,
+                      int avg_len, uint8_t* out, int cap, int* out_len) {
+    td_init();
+    Model m = build_model(nm, H, C, skip, trans, me, ie, s2M, s2I, nullptr,
+                          nullptr, 0, avg_len, nullptr);
+    emit_read_core(m, nm, &state, avg_len, out, cap, out_len);
+    return state;
+}
+
+// batched counterpart of td_emit_read — see td_emit_random_batch
+uint32_t td_emit_read_batch(int nm, const int* H, const int* C,
+                            const float* skip, const float* trans,
+                            const float* me, const float* ie,
+                            const float* s2M, const float* s2I,
+                            uint32_t state, int avg_len, int n, uint8_t* out,
+                            int cap, int* out_lens, uint32_t* entry_states) {
+    td_init();
+    Model m = build_model(nm, H, C, skip, trans, me, ie, s2M, s2I, nullptr,
+                          nullptr, 0, avg_len, nullptr);
+    for (int k = 0; k < n; k++) {
+        entry_states[k] = state;
+        emit_read_core(m, nm, &state, avg_len, out + (size_t)k * cap, cap,
+                       out_lens + k);
+    }
     return state;
 }
 

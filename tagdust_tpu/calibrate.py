@@ -209,15 +209,16 @@ def estimate_q_threshold(param, rs, ssi, run_get_prob) -> float:
             )
             flat = None
     if flat is not None:
+        # one native call per 32k-read slab (FlatModel._emit_batch) — the
+        # per-read ctypes round trips used to cost ~24s of every
+        # default-flag run; the LCG draw order is identical
         state = int(rng.next)
-        for _ in range(binsize * 2):
-            state, seq = flat.emit_read(state, avg_len)
-            reads.append(EmittedRead(seq, 0))
-        for _ in range(binsize * 2):
-            state, seq = flat.emit_random(state, avg_len)
-            reads.append(EmittedRead(seq, 1))
-            if len(reads) == num_test:
-                break
+        state, seqs = flat.emit_read_batch(state, avg_len, binsize * 2)
+        reads.extend(EmittedRead(s, 0) for s in seqs)
+        state, seqs = flat.emit_random_batch(
+            state, avg_len, min(binsize * 2, num_test - len(reads))
+        )
+        reads.extend(EmittedRead(s, 1) for s in seqs)
         rng.next = np.uint32(state)
     else:
         for _ in range(binsize * 2):

@@ -51,6 +51,8 @@ def get_lib():
     lib.td_score_batch.restype = None
     lib.td_emit_random.restype = ctypes.c_uint32
     lib.td_emit_read.restype = ctypes.c_uint32
+    lib.td_emit_random_batch.restype = ctypes.c_uint32
+    lib.td_emit_read_batch.restype = ctypes.c_uint32
     _lib = lib
     return lib
 
@@ -165,3 +167,75 @@ class FlatModel:
             ctypes.byref(out_len),
         )
         return int(new_state), out[: out_len.value].copy()
+
+    # ---- batched emission (calibration's 400k-read default) ----
+    # One native call per slab instead of one per read: the per-call ctypes
+    # marshalling (~60us x 400k = ~24s) used to dominate every default-flag
+    # run's calibration stage.  The C side records each read's rng ENTRY
+    # state, so the rare read longer than the slab row (geometric R-segment
+    # tail) is re-emitted alone through the single-read path without
+    # perturbing the draw-for-draw LCG parity of the rest.
+    _SLAB = 32768
+
+    def _emit_batch(self, call_one, call_slab, state: int, avg_len: int,
+                    n: int):
+        cap = 4 * max(avg_len, 16) + 64
+        seqs = []
+        done = 0
+        while done < n:
+            m = min(self._SLAB, n - done)
+            out = np.zeros((m, cap), dtype=np.uint8)
+            lens = np.zeros(m, dtype=np.int32)
+            entry = np.zeros(m, dtype=np.uint32)
+            state = int(call_slab(state, avg_len, m, out, cap, lens, entry))
+            for k in range(m):
+                L = int(lens[k])
+                if L > cap:  # truncated outlier: redo from its entry state
+                    _, s = call_one(int(entry[k]), avg_len)
+                    seqs.append(s)
+                else:
+                    seqs.append(out[k, :L])
+            done += m
+        return state, seqs
+
+    def emit_read_batch(self, state: int, avg_len: int, n: int):
+        lib = get_lib()
+
+        def slab(st, al, m, out, cap, lens, entry):
+            return lib.td_emit_read_batch(
+                ctypes.c_int(self.nm),
+                self._ptr(self.H, ctypes.c_int),
+                self._ptr(self.C, ctypes.c_int),
+                self._ptr(self.skip, ctypes.c_float),
+                self._ptr(self.trans, ctypes.c_float),
+                self._ptr(self.me, ctypes.c_float),
+                self._ptr(self.ie, ctypes.c_float),
+                self._ptr(self.s2M, ctypes.c_float),
+                self._ptr(self.s2I, ctypes.c_float),
+                ctypes.c_uint32(st),
+                ctypes.c_int(al),
+                ctypes.c_int(m),
+                self._ptr(out, ctypes.c_uint8),
+                ctypes.c_int(cap),
+                self._ptr(lens, ctypes.c_int32),
+                self._ptr(entry, ctypes.c_uint32),
+            )
+
+        return self._emit_batch(self.emit_read, slab, state, avg_len, n)
+
+    def emit_random_batch(self, state: int, avg_len: int, n: int):
+        lib = get_lib()
+
+        def slab(st, al, m, out, cap, lens, entry):
+            return lib.td_emit_random_batch(
+                self._ptr(self.background, ctypes.c_float),
+                ctypes.c_uint32(st),
+                ctypes.c_int(al),
+                ctypes.c_int(m),
+                self._ptr(out, ctypes.c_uint8),
+                ctypes.c_int(cap),
+                self._ptr(lens, ctypes.c_int32),
+                self._ptr(entry, ctypes.c_uint32),
+            )
+
+        return self._emit_batch(self.emit_random, slab, state, avg_len, n)

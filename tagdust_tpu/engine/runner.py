@@ -280,8 +280,59 @@ def score_arrays_tpu(eng, seqs: np.ndarray, lens_arr: np.ndarray,
         return eng.run_batch(seqs, lens_arr)
 
 
+# padded-length ladder for _score_reads_tpu's buckets.  Every rung used is
+# a separately compiled kernel shape; cold Pallas compiles cost ~1 min each
+# on this rig AND the axon platform does not serve the persistent
+# compilation cache, so _choose_rungs picks at most TAGDUST_TPU_LEN_BUCKETS
+# (default 3) rungs that minimize the total padded bases.
+_LEN_LADDER = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,
+               3072, 4096)
+
+
+def _choose_rungs(lens: np.ndarray) -> list:
+    """Pick <= TAGDUST_TPU_LEN_BUCKETS ladder rungs covering every length,
+    minimizing sum(padded length) — the DP compute is linear in the padded
+    length, so this directly minimizes device work under the compile-count
+    budget.  The rung covering the max length is always included."""
+    import itertools
+
+    Lmax = int(lens.max(initial=1))
+    top = int(np.searchsorted(_LEN_LADDER, max(Lmax, 1)))
+    if top >= len(_LEN_LADDER):
+        return [((Lmax + 31) // 32) * 32]
+    cands = [lp for lp in _LEN_LADDER[: top + 1] if lp >= int(lens.min())]
+    if not cands:
+        cands = [_LEN_LADDER[top]]
+    max_b = max(1, int(os.environ.get("TAGDUST_TPU_LEN_BUCKETS", "3")))
+    if len(cands) <= max_b:
+        return cands
+    # exact padded-base cost per candidate subset via per-rung counts
+    idx = np.searchsorted(np.asarray(cands), lens)
+    cnt = np.bincount(idx, minlength=len(cands)).astype(np.int64)
+    best, best_cost = None, None
+    last = len(cands) - 1
+    for sub in itertools.combinations(range(last), max_b - 1):
+        chosen = list(sub) + [last]
+        cost = 0
+        j = 0
+        for i in range(len(cands)):
+            while chosen[j] < i:
+                j += 1
+            cost += int(cnt[i]) * cands[chosen[j]]
+        if best_cost is None or cost < best_cost:
+            best, best_cost = chosen, cost
+    return [cands[i] for i in best]
+
+
 def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
-    """TPU path over per-read objects (calibration/detection consumers)."""
+    """TPU path over per-read objects (calibration/detection consumers).
+
+    Reads are scored in LENGTH BUCKETS: calibration's emitted reads carry
+    the model's geometric length tail (avg 55 -> p50 ~90, max ~700 on the
+    bench arch), so padding the whole 400k-read batch to the max wastes
+    ~8x the DP compute and shrinks the HBM-budget sub-batches ~12x.  Each
+    bucket pads to the _LEN_LADDER rung covering its longest read and
+    scores independently; results scatter back by original index."""
     eng = get_engine(mb, "tpu")
     B = len(reads)
     if not B:
@@ -291,21 +342,37 @@ def _score_reads_tpu(mb, reads, matchstart, matchend, want_labels=True):
         ((matchend - matchstart) if sub else r.len for r in reads),
         dtype=np.int32, count=B,
     )
-    Lmax = int(lens.max(initial=1))
-    seqs = np.zeros((B, Lmax), dtype=np.uint8)
-    for i, r in enumerate(reads):
-        if sub:
-            s = r.seq[matchstart:matchend]
-            seqs[i, : s.shape[0]] = s
-        else:
-            seqs[i, : r.len] = r.seq
-    seqs, lens_arr = _pad_tpu_batch(seqs, lens)
-    res = score_arrays_tpu(eng, seqs, lens_arr, want_labels)
-    for i, r in enumerate(reads):
-        r.mapq = float(res.mapq[i])
+    ladder = _choose_rungs(lens)
+    bucket_of = np.searchsorted(np.asarray(ladder), lens)
+
+    mapq_out = np.empty(B, dtype=np.float32)
+    labels_out = None
+    for b, Lp in enumerate(ladder):
+        idxs = np.nonzero(bucket_of == b)[0]
+        if idxs.size == 0:
+            continue
+        seqs = np.zeros((idxs.size, Lp), dtype=np.uint8)
+        for bi, i in enumerate(idxs):
+            r = reads[int(i)]
+            if sub:
+                s = r.seq[matchstart:matchend]
+                seqs[bi, : s.shape[0]] = s
+            else:
+                seqs[bi, : r.len] = r.seq
+        pseqs, plens = _pad_tpu_batch(seqs, lens[idxs])
+        res = score_arrays_tpu(eng, pseqs, plens, want_labels)
+        mapq_out[idxs] = res.mapq[: idxs.size]
         if res.labels is not None:
-            r.labels = res.labels[i]
-    return res.labels[:B] if res.labels is not None else None
+            if labels_out is None:
+                labels_out = np.zeros(
+                    (B, ladder[-1] + 1), dtype=res.labels.dtype
+                )
+            labels_out[idxs, : res.labels.shape[1]] = res.labels[: idxs.size]
+    for i, r in enumerate(reads):
+        r.mapq = float(mapq_out[i])
+        if labels_out is not None:
+            r.labels = labels_out[i]
+    return labels_out
 
 
 def run_get_label(

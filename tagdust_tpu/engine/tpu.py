@@ -639,10 +639,22 @@ class TpuEngine:
             lens = np.concatenate([lens, np.broadcast_to(lens[:1], (pad,))])
         outs = []
         for s in range(0, seqs.shape[0], max_b):
+            sb = seqs[s : s + max_b]
+            lb = lens[s : s + max_b]
+            if s > 0 and sb.shape[0] < max_b:
+                # pad the final sub-batch up to max_b so every dispatch of
+                # this Lp compiles ONE (max_b, Lp) program — remainder
+                # shapes used to each cost their own ~1-2 min cold compile;
+                # the conversion below slices [:B], dropping the pad rows
+                pad_n = max_b - sb.shape[0]
+                sb = np.concatenate(
+                    [sb, np.broadcast_to(sb[:1], (pad_n, Lp))], axis=0
+                )
+                lb = np.concatenate([lb, np.broadcast_to(lb[:1], (pad_n,))])
             outs.append(
                 fullfn(
-                    jnp.asarray(seqs[s : s + max_b].astype(np.uint8)),
-                    jnp.asarray(lens[s : s + max_b].astype(np.int32)),
+                    jnp.asarray(sb.astype(np.uint8)),
+                    jnp.asarray(lb.astype(np.int32)),
                 )
             )
         f_log, r_log, bar_log, labels, mapq = (
