@@ -73,12 +73,16 @@ def main():
     NB = 16
     jax.block_until_ready([run() for _ in range(2)])  # prime the pipeline
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         jax.block_until_ready([run() for _ in range(NB)])
         times.append(time.time() - t0)
-    dt = min(times)
-    rps = NB * B / dt
+    # report the MEDIAN with the observed spread so the quoted headline is
+    # reproducible run-to-run (VERDICT r4 item 2: docs must quote the same
+    # number a fresh `python bench.py` produces, within the stated spread)
+    rates = sorted(NB * B / t for t in times)
+    rps = rates[len(rates) // 2]
+    spread_pct = 100.0 * (rates[-1] - rates[0]) / rps
 
     print(
         json.dumps(
@@ -87,6 +91,8 @@ def main():
                 "value": round(rps, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(rps / BASELINE_SINGLE_CORE_C, 2),
+                "trials": len(times),
+                "spread_pct": round(spread_pct, 2),
             }
         )
     )

@@ -194,7 +194,10 @@ class FlatModel:
                     _, s = call_one(int(entry[k]), avg_len)
                     seqs.append(s)
                 else:
-                    seqs.append(out[k, :L])
+                    # own copy: a view would pin the whole ~10-20MB slab
+                    # alive per surviving read (~100-300MB of dead slab
+                    # memory over a 400k-read calibration)
+                    seqs.append(out[k, :L].copy())
             done += m
         return state, seqs
 

@@ -301,8 +301,9 @@ def _choose_rungs(lens: np.ndarray) -> list:
     if top >= len(_LEN_LADDER):
         return [((Lmax + 31) // 32) * 32]
     cands = [lp for lp in _LEN_LADDER[: top + 1] if lp >= int(lens.min())]
-    if not cands:
-        cands = [_LEN_LADDER[top]]
+    # covering invariant: _LEN_LADDER[top] >= Lmax >= lens.min(), so the
+    # top rung always survives the filter
+    assert cands, "length ladder must cover lens.min()"
     max_b = max(1, int(os.environ.get("TAGDUST_TPU_LEN_BUCKETS", "3")))
     if len(cands) <= max_b:
         return cands

@@ -497,10 +497,12 @@ class TpuEngine:
                 )
 
             # cache the raw fn too: parallel/mesh.py wraps it per-shard
-            # under shard_map (the jit there happens around the shard_map)
-            self._pallas_cache[key] = (
-                jax.jit(_f32_precision_wrap(full)), full, BT
-            )
+            # under shard_map (the jit there happens around the shard_map).
+            # The raw fn carries the f32 precision pin as well, so the
+            # sharded path honours TAGDUST_TPU_PRECISION exactly like the
+            # single-device jit (no-op wrapper under default precision).
+            wrapped = _f32_precision_wrap(full)
+            self._pallas_cache[key] = (jax.jit(wrapped), wrapped, BT)
         return self._pallas_cache[key]
 
     # HBM budget for the backward stack ((Lp+1) * B * (Sp+128) * 4 bytes):
