@@ -175,8 +175,15 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
     # overlap reader/score/writer stages.  RTEST keeps the reference's
     # 1000-read batches for determinism parity; stats keeps num_query.
     read_chunk = param.num_query
+    env_chunk = os.environ.get("TAGDUST_TPU_CHUNK")
     if not param.rtest:
-        read_chunk = int(os.environ.get("TAGDUST_TPU_CHUNK", "262144"))
+        read_chunk = int(env_chunk or 262144)
+    elif env_chunk:
+        # explicit override honoured in RTEST too: the chunk-invariance
+        # tests (the reference's thread_test.sh analogue) sweep chunk sizes
+        # and assert byte-identical output (stats/calibration still consume
+        # num_query reads, so the RNG stream is chunk-size independent)
+        read_chunk = int(env_chunk)
 
     def _compute_stats_thresholds():
         stats = []
