@@ -25,7 +25,7 @@ from ..extract import compute_q, extract_batch
 from ..filters import dust_reads, match_to_reference
 from ..io.fastq import Read
 from ..model import ModelBag
-from ..strict import fallback
+from ..strict import fallback, note
 from .exact import ExactEngine
 
 _F32 = np.float32
@@ -263,6 +263,14 @@ def score_arrays_tpu(eng, seqs: np.ndarray, lens_arr: np.ndarray,
     # TAGDUST_TPU_PALLAS=0 forces the XLA scan flavor (same lattice, same
     # decisions — used by CPU test rigs where interpret-mode Pallas is slow)
     use_pallas = os.environ.get("TAGDUST_TPU_PALLAS", "1") == "1" and Lpad <= 4096
+    if Lpad > 4096:
+        note(
+            "long-reads",
+            f"reads pad to {Lpad}nt > the fused kernels' 4096nt bound "
+            "(backward-stack VMEM/HBM budget); scoring on the XLA scan "
+            "engine — decisions are engine-identical, throughput is "
+            "~6x lower (docs/PERFORMANCE.md, Long reads)",
+        )
     scorer = _mesh_scorer(eng, use_pallas, B)
     try:
         if scorer is not None:

@@ -24,6 +24,16 @@ def strict_mode() -> bool:
     return os.environ.get("TAGDUST_TPU_STRICT") == "1"
 
 
+def note(site: str, message: str) -> None:
+    """Loud (once per site) notice for a DOCUMENTED gate — a deliberate
+    path choice, not a failure, so it never raises under strict mode.
+    Used e.g. when reads longer than the fused kernels' 4096nt bound
+    route to the XLA scan engine (docs/PERFORMANCE.md, Long reads)."""
+    if site not in _warned:
+        _warned.add(site)
+        sys.stderr.write(f"[tagdust_tpu] NOTE: {site}: {message}\n")
+
+
 def fallback(site: str, exc: BaseException, message: str) -> None:
     """Record that the fast path ``site`` failed and ``message`` describes
     the downgrade.  Raises under TAGDUST_TPU_STRICT=1; warns once otherwise."""
