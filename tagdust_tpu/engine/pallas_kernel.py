@@ -97,6 +97,7 @@ def make_fused_scorer(
     tmatrix: np.ndarray = None,  # [H, H] 0/1 label-compatibility
     force_slow_label_dp: bool = False,  # testing hook for the fallback path
     grouped: dict = None,  # lattice.grouped_step_decomposition result
+    score_only: bool = False,  # backward-only MODE_ARCH_COMP flavor
 ):
     """Returns fn(seqs [B, Lp] i32, lens [B] i32) ->
     (f_log [B], logP_b [B], labels [B, Lp+1] i32, tp [B, K]).
@@ -303,20 +304,13 @@ def make_fused_scorer(
         )
 
     # ---------------- backward kernel ----------------
-    def bwd_kernel(
-        seq_ref,  # [BT, Lp] i32
-        lens_ref,  # [BT, 128] i32
-        abwd_ref,  # [5Sp, Sp] dense | [5Sp, 128] grouped block tiles
-        wvecb_ref,  # [8, Sp] grouped entry-weight vectors | dummy
-        msegb_ref,  # [Sp, 128] grouped state->segment indicator | dummy
-        uexitb_ref,  # [128, Sp] grouped silent exits^T | dummy
-        end_ref,  # [Sp, 128]
-        bstack_ref,  # out [1, BT, Sp] (slot i)
-        blstack_ref,  # out [1, BT, 128]
-        logpb_ref,  # out [BT, 128]
-        b_scr,  # scratch [BT, Sp]
-        bls_scr,  # scratch [BT, 128]
+    def _bwd_body(
+        seq_ref, lens_ref, abwd_ref, wvecb_ref, msegb_ref, uexitb_ref,
+        end_ref, logpb_ref, b_scr, bls_scr, bstack_ref=None, blstack_ref=None,
     ):
+        """One backward grid step; with stack refs it also spills the
+        pre-update carry to the HBM stack (the full-pipeline flavor), without
+        them it is the score-only MODE_ARCH_COMP sweep."""
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -326,10 +320,12 @@ def make_fused_scorer(
 
         b = b_scr[:, :]
         bls = bls_scr[:, :1]
-        # write bwd[i] (pre-update carry) into slot i = Lp - k; bf16 on
-        # real TPUs (stack_is_bf16) — the carry itself stays f32 in scratch
-        bstack_ref[0] = b.astype(_SDT)
-        blstack_ref[0] = jnp.broadcast_to(bls, (BT, 128))
+        if bstack_ref is not None:
+            # write bwd[i] (pre-update carry) into slot i = Lp - k; bf16 on
+            # real TPUs (stack_is_bf16) — the carry itself stays f32 in
+            # scratch
+            bstack_ref[0] = b.astype(_SDT)
+            blstack_ref[0] = jnp.broadcast_to(bls, (BT, 128))
 
         # dynamic single-lane reads are unsupported on TPU: extract the
         # column with an iota mask + lane reduction instead
@@ -350,6 +346,39 @@ def make_fused_scorer(
         bls_scr[:, :] = jnp.broadcast_to(bls, (BT, 128))
         logpb = jnp.log(jnp.maximum(b[:, begin : begin + 1], 1e-38)) + bls
         logpb_ref[:, :] = jnp.broadcast_to(logpb, (BT, 128))
+
+    def bwd_kernel(
+        seq_ref,  # [BT, Lp] i32
+        lens_ref,  # [BT, 128] i32
+        abwd_ref,  # [5Sp, Sp] dense | [5Sp, 128] grouped block tiles
+        wvecb_ref,  # [8, Sp] grouped entry-weight vectors | dummy
+        msegb_ref,  # [Sp, 128] grouped state->segment indicator | dummy
+        uexitb_ref,  # [128, Sp] grouped silent exits^T | dummy
+        end_ref,  # [Sp, 128]
+        bstack_ref,  # out [1, BT, Sp] (slot i)
+        blstack_ref,  # out [1, BT, 128]
+        logpb_ref,  # out [BT, 128]
+        b_scr,  # scratch [BT, Sp]
+        bls_scr,  # scratch [BT, 128]
+    ):
+        _bwd_body(
+            seq_ref, lens_ref, abwd_ref, wvecb_ref, msegb_ref, uexitb_ref,
+            end_ref, logpb_ref, b_scr, bls_scr, bstack_ref, blstack_ref,
+        )
+
+    def bwd_score_kernel(
+        seq_ref, lens_ref, abwd_ref, wvecb_ref, msegb_ref, uexitb_ref,
+        end_ref, logpb_ref, b_scr, bls_scr,
+    ):
+        """Score-only backward sweep (MODE_ARCH_COMP,
+        test_architectures.c:182-184): identical recurrence, NO stack spill —
+        the kernel's only HBM traffic is the input reads and a [B, 128]
+        score row, so architecture detection costs one compute-bound sweep
+        per candidate."""
+        _bwd_body(
+            seq_ref, lens_ref, abwd_ref, wvecb_ref, msegb_ref, uexitb_ref,
+            end_ref, logpb_ref, b_scr, bls_scr,
+        )
 
     # ---------------- forward kernel ----------------
     def fwd_kernel(
@@ -545,6 +574,37 @@ def make_fused_scorer(
     entp_j = jnp.asarray(entp)
     tmatp_j = jnp.asarray(tmatp)
     diagp_j = jnp.asarray(diagp)
+
+    if score_only:
+        # backward-only scorer: same in_specs as the full backward kernel,
+        # single [B, 128] output, no stack allocations at all
+        def call_score(seqs, lens):
+            B = seqs.shape[0]
+            nbt = B // BT
+            lens_b = jnp.broadcast_to(lens[:, None], (B, 128)).astype(jnp.int32)
+            logpb = pl.pallas_call(
+                bwd_score_kernel,
+                grid=(nbt, Lp),
+                in_specs=[
+                    pl.BlockSpec((BT, Lp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(Abwd.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(wvec.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(msegB.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(uexitB.shape, lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((Sp, 128), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((BT, 128), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((BT, Sp), jnp.float32),
+                    pltpu.VMEM((BT, 128), jnp.float32),
+                ],
+                interpret=interpret,
+            )(seqs, lens_b, Abwd_j, wvec_j, msegB_j, uexitB_j, endp_j)
+            return logpb[:, 0]
+
+        return call_score, Sp, Kp, Hp
 
     def call(seqs, lens):
         B = seqs.shape[0]

@@ -375,8 +375,31 @@ class TpuEngine:
 
     def backward_scores(self, seqs: np.ndarray, lens: np.ndarray) -> np.ndarray:
         """[B] backward-only log P(x|M) for architecture auto-detection
-        (MODE_ARCH_COMP) — one masked backward sweep on device, no labels,
-        no posterior stack."""
+        (MODE_ARCH_COMP, test_architectures.c:182-184) — one masked backward
+        sweep on device, no labels, no posterior stack.
+
+        Served by the score-only flavor of the fused Pallas backward kernel
+        (the flagship production kernel with the stack spill disabled), under
+        the same batch tiling as production; `TAGDUST_TPU_PALLAS=0` or reads
+        past the 4096nt kernel bound take the XLA scan recurrence — both
+        compute the shared `backward_scan` numerics (parity asserted by
+        tests/test_pallas_kernel.py)."""
+        B, Lp = seqs.shape
+        use_pallas = (
+            os.environ.get("TAGDUST_TPU_PALLAS", "1") == "1" and Lp <= 4096
+        )
+        if use_pallas:
+            try:
+                return self._backward_scores_pallas(seqs, lens)
+            except Exception as e:  # noqa: BLE001 — loud downgrade
+                from ..strict import fallback
+
+                fallback(
+                    "bscore-pallas",
+                    e,
+                    "score-only Pallas backward failed; arch detection "
+                    "scoring on the XLA scan recurrence",
+                )
         if not hasattr(self, "_bscore_jit"):
             self._bscore_jit = jax.jit(
                 _f32_precision_wrap(
@@ -388,6 +411,50 @@ class TpuEngine:
             jnp.asarray(lens.astype(np.int32)),
         )
         return np.asarray(out)
+
+    def _backward_scores_pallas(self, seqs: np.ndarray, lens: np.ndarray):
+        B, Lp = seqs.shape
+        BT = self.default_batch_tile()
+        key = ("bscore", Lp, BT)
+        if not hasattr(self, "_pallas_cache"):
+            self._pallas_cache = {}
+        if key not in self._pallas_cache:
+            from . import pallas_kernel as PK
+
+            lat = self.lat
+            call, _, _, _ = PK.make_fused_scorer(
+                lat.A,
+                lat.Uent,
+                lat.Eent,
+                lat.end,
+                np.asarray(self._dev["Lmap"]),
+                np.asarray(self._dev["ent_sel"]),
+                lat.begin,
+                Lp,
+                BT,
+                interpret=jax.default_backend() == "cpu",
+                tmatrix=np.asarray(self._dev["tmat"]),
+                grouped=self._grouped_decomposition(),
+                score_only=True,
+            )
+
+            def score(seqs_i32, lens_i32):
+                return call(seqs_i32, lens_i32)
+
+            self._pallas_cache[key] = jax.jit(_f32_precision_wrap(score))
+        fn = self._pallas_cache[key]
+        pad = (-B) % BT
+        if pad:
+            # copies of read 0, not zero rows — see run_batch_pallas
+            seqs = np.concatenate(
+                [seqs, np.broadcast_to(seqs[:1], (pad, Lp))], axis=0
+            )
+            lens = np.concatenate([lens, np.broadcast_to(lens[:1], (pad,))])
+        out = fn(
+            jnp.asarray(seqs.astype(np.int32)),
+            jnp.asarray(lens.astype(np.int32)),
+        )
+        return np.asarray(out)[:B]
 
     def run_batch(self, seqs: np.ndarray, lens: np.ndarray) -> TpuBatchResult:
         """seqs [B, Lpad] uint8 (padded with 0), lens [B]."""
