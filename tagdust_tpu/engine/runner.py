@@ -525,9 +525,20 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
     """Pipelined TPU labeling: score in fixed windows with up to DEPTH
     dispatches in flight, extracting window k on the host while the device
     computes k+1..k+DEPTH (the host<->device analogue of the reference's
-    popen decompression overlap, io.c:459-606).  Returns False when the
-    streaming preconditions don't hold (mesh engaged, Pallas off, tiny
-    batch) — the caller falls back to the one-shot path."""
+    popen decompression overlap, io.c:459-606).
+
+    With more than one visible device the SAME loop drives the whole mesh:
+    each window is sharded data-parallel over the chips and runs the
+    identical per-chip packed program (`ShardedScorer.dispatch_packed`), so
+    the multi-chip production path keeps every single-chip optimization —
+    DEPTH dispatches in flight, one packed fetch per window, async
+    device->host copies, device DUST.  The window size scales by the device
+    count (same per-chip stack budget), matching the reference's
+    count-invariant thread fan-out (barcode_hmm.c:1895-2029).
+
+    Returns False when the streaming preconditions don't hold (Pallas off,
+    reads past the kernel bound, tiny batch) — the caller falls back to
+    the one-shot path."""
     from collections import deque
 
     from ..extract import extract_batch_columnar
@@ -544,17 +555,22 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
     Lpad = max(((Lmax + 31) // 32) * 32, 32)
     if os.environ.get("TAGDUST_TPU_PALLAS", "1") != "1" or Lpad > 4096:
         return False
-    use_pallas = True
-    if _mesh_scorer(eng, use_pallas, B) is not None:
-        return False  # multi-device: the sharded path handles fan-out
+    scorer = _mesh_scorer(eng, True, B)  # None on single-device rigs
+    n_dev = scorer.n if scorer is not None else 1
     DEPTH = int(os.environ.get("TAGDUST_TPU_PIPELINE_DEPTH", "3"))
-    BT = eng.default_batch_tile()
+    BT = (
+        (scorer.batch_tile or eng.default_batch_tile())
+        if scorer is not None
+        else eng.default_batch_tile()
+    )
+    gran = BT * n_dev  # window granularity: every chip gets whole tiles
     per_read = eng.pallas_stack_bytes_per_read(Lpad)
-    W = eng._PALLAS_STACK_BYTES // max(DEPTH, 1) // per_read
-    W = int(min(max(W // BT * BT, BT), 16384))
+    # per-chip backward-stack budget, DEPTH windows in flight, n_dev chips
+    W = eng._PALLAS_STACK_BYTES * n_dev // max(DEPTH, 1) // per_read
+    W = int(min(max(W // gran * gran, gran), 16384 * n_dev))
     wenv = os.environ.get("TAGDUST_TPU_WINDOW")
     if wenv:
-        W = max(int(wenv) // BT * BT, BT)
+        W = max(int(wenv) // gran * gran, gran)
     if B <= W:
         return False  # single window: no overlap to win
 
@@ -562,7 +578,7 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
 
     def _window(s: int, e: int):
         n = e - s
-        Wp = (n + BT - 1) // BT * BT
+        Wp = (n + gran - 1) // gran * gran
         lens_w = np.ones(Wp, dtype=np.int32)
         if sub:
             off = batch.seq_off[s:e] + matchstart
@@ -631,11 +647,14 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
         if len(ready) > 1:
             _extract(*ready.popleft())
 
+    dispatch = (
+        scorer.dispatch_packed if scorer is not None else eng.dispatch_pallas
+    )
     try:
         for s in range(0, B, W):
             e = min(s + W, B)
             seqs, lens_w = _window(s, e)
-            inflight.append((s, e, eng.dispatch_pallas(seqs, lens_w)))
+            inflight.append((s, e, dispatch(seqs, lens_w)))
             if len(inflight) >= DEPTH:
                 _stage()
         while inflight:

@@ -481,6 +481,10 @@ class TpuEngine:
         Override: TAGDUST_TPU_BT."""
         bt = os.environ.get("TAGDUST_TPU_BT")
         if bt:
+            if jax.default_backend() == "cpu":
+                # interpret-mode rigs may shrink below the hardware tile so
+                # the streaming/mesh tests stay fast (8-row granularity)
+                return max(int(bt) // 8 * 8, 8)
             return max(int(bt) // 256 * 256, 256)
         return 256 if jax.default_backend() == "cpu" else 1024
 
@@ -587,18 +591,24 @@ class TpuEngine:
         sbytes = 2 if stack_is_bf16(jax.default_backend() == "cpu") else 4
         return (Lp + 1) * (Sp * sbytes + 128 * 4)
 
-    def _get_pallas_packed(self, Lp: int):
+    def _get_pallas_packed(self, Lp: int, BT: Optional[int] = None):
         """Jitted variant returning ONE uint8 buffer per batch:
         [B, lab_bytes*(Lp+1) + 16] = bitcast labels | bitcast (f, r, bar, q).
 
         Each device->host fetch over a high-latency link costs a full round
         trip (~26ms on this rig's tunnel) REGARDLESS of size; fetching one
         packed array instead of five cuts the per-window result latency 5x.
+
+        Returns ``(jitted_fn, raw_fn, lab_bytes, BT)``; the raw (unjitted,
+        f32-pin-wrapped) fn is what `parallel/mesh.py` wraps per-shard under
+        shard_map — the multi-chip streaming path runs the SAME packed
+        program per chip.
         """
         # BT is env-overridable (TAGDUST_TPU_BT) and backend-dependent, so
         # the cache key must carry it: a stale packed fn with a different
         # tile would reject (or mis-pad) freshly computed windows
-        BT = self.default_batch_tile()
+        if BT is None:
+            BT = self.default_batch_tile()
         key = ("packed", Lp, BT)
         if not hasattr(self, "_pallas_cache"):
             self._pallas_cache = {}
@@ -629,8 +639,9 @@ class TpuEngine:
             n_labels = int(np.asarray(self._dev["Lmap"]).shape[1])
             if n_labels + 1 > 127:
                 lab_bytes = 4
+            wrapped = _f32_precision_wrap(full_packed)
             self._pallas_cache[key] = (
-                jax.jit(_f32_precision_wrap(full_packed)), lab_bytes, BT
+                jax.jit(wrapped), wrapped, lab_bytes, BT
             )
         return self._pallas_cache[key]
 
@@ -640,13 +651,280 @@ class TpuEngine:
         (extraction of the previous window) with device compute and the
         result transfer."""
         B, Lp = seqs.shape
-        fn, _, BT = self._get_pallas_packed(Lp)
+        fn, _, _, BT = self._get_pallas_packed(Lp)
         if B % BT:
             raise ValueError(f"batch {B} not a multiple of the tile {BT}")
         return fn(
             jnp.asarray(seqs.astype(np.uint8)),
             jnp.asarray(lens.astype(np.int32)),
         )
+
+    def required_finger_len(self) -> int:
+        """Total F-segment length (extract_reads' required_finger_len,
+        barcode_hmm.c:3188-3195)."""
+        rs = self.mb.rs
+        if rs is None:
+            return 0
+        return sum(
+            len(rs.seqs[j][0])
+            for j in range(rs.num_segments)
+            if rs.types[j] == "F"
+        )
+
+    def _label_tables(self) -> dict:
+        """Per-label decode tables for the on-device extraction decisions
+        (extract_reads, barcode_hmm.c:3203-3304): segment index, alternative
+        index, segment-type membership and the null-N-alternative flag,
+        each indexed by label value."""
+        cached = getattr(self, "_lab_tables_cache", None)
+        if cached is None:
+            lab_tab = np.asarray(self.mb.label, dtype=np.int64)
+            n = lab_tab.shape[0]
+            seg = (lab_tab & 0xFFFF).astype(np.int32)
+            alt = ((lab_tab >> 16) & 0x7FFF).astype(np.int32)
+            rs = self.mb.rs
+            types = rs.types if rs is not None else []
+            tcode = np.zeros(n, dtype=np.int32)
+            null_b = np.zeros(n, dtype=bool)
+            for li in range(n):
+                s = int(seg[li])
+                if s < len(types):
+                    tcode[li] = ord(types[s])
+                    if (
+                        types[s] == "B"
+                        and int(alt[li]) == rs.numseq_in_segment(s) - 1
+                    ):
+                        null_b[li] = True
+            cached = self._lab_tables_cache = {
+                "seg": seg,
+                "alt": alt,
+                "is_F": tcode == ord("F"),
+                "is_B": tcode == ord("B"),
+                "is_R": tcode == ord("R"),
+                "null_b": null_b,
+            }
+        return cached
+
+    def _get_pallas_decided(self, Lp: int, BT: Optional[int] = None):
+        """Packed pipeline WITH the per-read extraction decisions computed
+        on device (VERDICT r4 item 5 — extract_reads' decision tree,
+        barcode_hmm.c:3203-3304, evaluated on the label path while it is
+        still resident):
+
+        * pass/fail vs the confidence threshold (f32-ceiled so the compare
+          equals the host's float64 semantics exactly),
+        * per-R-segment minimum-length check,
+        * barcode segment+alternative id with null-N rejection,
+        * fingerprint 2-bit key packing (<= 27 F bases; two uint32 halves),
+        * the keep-bit mask (label-is-R per position) the host needs for
+          the spacer rewrite.
+
+        One uint8 row per read:
+        ``keep_bits[Lp/8] | read_type[1] | bar_mem i32[4] | fp_lo u32[4] |
+        fp_hi u32[4] | (f, r, bar, q) f32[16] | dust f32[8]`` —
+        Lp/8 + 37 bytes, vs lab_bytes*(Lp+1) + 24 for the label-carrying
+        row: the host no longer downloads (or walks) labels at all.
+        Returns ``(jitted, raw, row_bytes, BT)``.
+        """
+        if BT is None:
+            BT = self.default_batch_tile()
+        key = ("decided", Lp, BT)
+        if not hasattr(self, "_pallas_cache"):
+            self._pallas_cache = {}
+        if key not in self._pallas_cache:
+            assert Lp % 8 == 0
+            _, full, _BT = self._get_pallas(Lp, BT)
+            T = self._label_tables()
+            nlab = T["seg"].shape[0]
+            is_R = jnp.asarray(T["is_R"])
+            is_B = jnp.asarray(T["is_B"])
+            is_F = jnp.asarray(T["is_F"])
+            null_b = jnp.asarray(T["null_b"])
+            alt_t = jnp.asarray(T["alt"])
+            seg_t = jnp.asarray(T["seg"])
+            is_r_full = self._is_r_label()
+            rfl = self.required_finger_len()
+
+            from ..constants import (
+                EXTRACT_FAIL_ARCHITECTURE_MISMATCH,
+                EXTRACT_FAIL_BAR_FINGER_NOT_FOUND,
+                EXTRACT_FAIL_READ_TOO_SHORT,
+                EXTRACT_SUCCESS,
+            )
+
+            bitw = jnp.asarray(
+                [128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.int32
+            )
+
+            def full_decided(seqs_u8, lens, thr32, minlen):
+                f, r, b, lab, q = full(seqs_u8, lens)
+                seqs = seqs_u8.astype(jnp.int32)
+                dust = dust_scores_device(
+                    seqs, lab.astype(jnp.int32), lens, is_r_full
+                )
+                B = seqs.shape[0]
+                labd = jnp.clip(lab.astype(jnp.int32)[:, 1:], 0, nlab - 1)
+                pos = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+                valid = pos < lens[:, None]
+                keep = jnp.take(is_R, labd)  # [B, Lp] bool (unmasked)
+                tR = keep & valid
+                tB = jnp.take(is_B, labd) & valid
+                tF = jnp.take(is_F, labd) & valid
+
+                # keep bits, big-endian within each byte (np.unpackbits order)
+                keep_bytes = jnp.sum(
+                    keep.reshape(B, Lp // 8, 8).astype(jnp.int32)
+                    * bitw[None, None, :],
+                    axis=2,
+                ).astype(jnp.uint8)
+
+                passed = q >= thr32  # NaN -> False, like the host compare
+
+                fingerlen = jnp.sum(tF.astype(jnp.int32), axis=1)
+                has_b = tB.any(axis=1)
+                last_b = jnp.where(
+                    has_b, Lp - 1 - jnp.argmax(tB[:, ::-1], axis=1), 0
+                )
+                lab_last = jnp.take_along_axis(
+                    labd, last_b[:, None], axis=1
+                )[:, 0]
+                bar = jnp.where(has_b, jnp.take(alt_t, lab_last), -1)
+                mem = jnp.where(has_b, jnp.take(seg_t, lab_last), -1)
+                hb = jnp.where(
+                    has_b, jnp.where(jnp.take(null_b, lab_last), -1, 1), 0
+                )
+
+                # too-short: every maximal R run must reach minlen
+                idxs = jnp.broadcast_to(pos, tR.shape)
+                last_nonr = jax.lax.cummax(
+                    jnp.where(tR, -1, idxs), axis=1
+                )
+                runlen = idxs - last_nonr
+                nxt = jnp.pad(tR[:, 1:], ((0, 0), (0, 1)))
+                run_end = tR & ~nxt
+                too_short = jnp.any(run_end & (runlen < minlen), axis=1)
+
+                # fingerprint key: 2-bit packed F bases, two uint32 halves
+                if rfl and rfl <= 27:
+                    cum = jnp.cumsum(tF.astype(jnp.int32), axis=1)
+                    shift = 2 * (fingerlen[:, None] - cum)  # at F positions
+                    bits = (seqs[:, :Lp] & 3).astype(jnp.uint32)
+                    sh_lo = jnp.clip(shift, 0, 31).astype(jnp.uint32)
+                    lo = jnp.sum(
+                        jnp.where(tF & (shift < 32), bits << sh_lo, 0),
+                        axis=1, dtype=jnp.uint32,
+                    )
+                    sh_hi = jnp.clip(shift - 32, 0, 31).astype(jnp.uint32)
+                    hi = jnp.sum(
+                        jnp.where(tF & (shift >= 32), bits << sh_hi, 0),
+                        axis=1, dtype=jnp.uint32,
+                    )
+                else:
+                    lo = jnp.zeros((B,), jnp.uint32)
+                    hi = jnp.zeros((B,), jnp.uint32)
+
+                finger_ok = fingerlen == rfl
+                if rfl:
+                    core = jnp.where(
+                        hb == 1,
+                        finger_ok & (bar != -1),
+                        jnp.where(hb == 0, finger_ok, False),
+                    )
+                else:
+                    core = jnp.where(hb == 1, bar != -1, hb == 0)
+                success = passed & ~too_short & core
+                read_type = jnp.where(
+                    passed,
+                    jnp.where(
+                        too_short,
+                        EXTRACT_FAIL_READ_TOO_SHORT,
+                        jnp.where(
+                            success,
+                            EXTRACT_SUCCESS,
+                            EXTRACT_FAIL_BAR_FINGER_NOT_FOUND,
+                        ),
+                    ),
+                    EXTRACT_FAIL_ARCHITECTURE_MISMATCH,
+                ).astype(jnp.uint8)
+                bar_mem = jnp.where(
+                    success & (hb == 1), (mem << 16) | bar, -1
+                ).astype(jnp.int32)
+
+                u8 = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
+                    x, jnp.uint8
+                ).reshape(B, -1)
+                sc = jnp.stack([f, r, b, q], axis=1)  # [B, 4] f32
+                return jnp.concatenate(
+                    [
+                        keep_bytes,
+                        read_type[:, None],
+                        u8(bar_mem[:, None]),
+                        u8(lo[:, None]),
+                        u8(hi[:, None]),
+                        u8(sc),
+                        u8(dust),
+                    ],
+                    axis=1,
+                )
+
+            wrapped = _f32_precision_wrap(full_decided)
+            self._pallas_cache[key] = (
+                jax.jit(wrapped), wrapped, Lp // 8 + 37, BT
+            )
+        return self._pallas_cache[key]
+
+    def dispatch_pallas_decided(
+        self, seqs: np.ndarray, lens: np.ndarray, thr32, minlen: int
+    ):
+        """Asynchronous dispatch of the decided-mode pipeline (labels never
+        leave the device; the host receives decisions + keep bits)."""
+        B, Lp = seqs.shape
+        fn, _, _, BT = self._get_pallas_decided(Lp)
+        if B % BT:
+            raise ValueError(f"batch {B} not a multiple of the tile {BT}")
+        return fn(
+            jnp.asarray(seqs.astype(np.uint8)),
+            jnp.asarray(lens.astype(np.int32)),
+            jnp.float32(thr32),
+            jnp.int32(minlen),
+        )
+
+    @staticmethod
+    def threshold_f32_ceil(thr: float) -> np.float32:
+        """Smallest float32 >= thr: makes the device compare
+        ``q_f32 >= thr32`` decide exactly like the host's float64
+        ``thr <= float64(q_f32)`` for every representable q."""
+        t32 = np.float32(thr)
+        if float(t32) < float(thr):
+            t32 = np.nextafter(t32, np.float32(np.inf), dtype=np.float32)
+        return t32
+
+    def collect_pallas_decided(self, out, n: int, Lp: int) -> dict:
+        """Parse one fetched decided-mode window back to host arrays."""
+        a = np.asarray(out)[:n]
+        kb = Lp // 8
+        keep = np.unpackbits(
+            np.ascontiguousarray(a[:, :kb]), axis=1
+        ).astype(bool)
+        read_type = a[:, kb].astype(np.int64)
+        bar_mem = np.ascontiguousarray(a[:, kb + 1 : kb + 5]).view(np.int32)[
+            :, 0
+        ]
+        lo = np.ascontiguousarray(a[:, kb + 5 : kb + 9]).view(np.uint32)[:, 0]
+        hi = np.ascontiguousarray(a[:, kb + 9 : kb + 13]).view(np.uint32)[:, 0]
+        fp_key = (hi.astype(np.int64) << 32) | lo.astype(np.int64)
+        sc = np.ascontiguousarray(a[:, kb + 13 : kb + 37]).view(np.float32)
+        return {
+            "keep": keep,
+            "read_type": read_type,
+            "bar_mem": bar_mem,
+            "fp_key": fp_key,
+            "f": sc[:, 0],
+            "r": sc[:, 1],
+            "bar": sc[:, 2],
+            "mapq": sc[:, 3],
+            "dust": sc[:, 4:6],
+        }
 
     def _is_r_label(self) -> np.ndarray:
         """[n_labels+2] bool: does label index li label an R-segment base?"""
@@ -666,7 +944,10 @@ class TpuEngine:
     def collect_pallas(self, out, n: int, Lp: int) -> TpuBatchResult:
         """Convert one fetched packed window back to host-side arrays."""
         a = np.asarray(out)[:n]
-        _, lab_bytes, _ = self._get_pallas_packed(Lp)
+        # lab_bytes is a model property (label-alphabet size), independent
+        # of the dispatching tile — don't touch the packed-fn cache here
+        n_labels = int(np.asarray(self._dev["Lmap"]).shape[1])
+        lab_bytes = 1 if n_labels + 1 <= 127 else 4
         lw = lab_bytes * (Lp + 1)
         labs = np.ascontiguousarray(a[:, :lw])
         labels = (

@@ -415,6 +415,53 @@ def extract_batch_columnar(
             batch.fingerprint[set_fp] = (key_arr[set_fp] << 8) | fp_len
 
 
+def apply_device_decisions(batch, res: dict, required_finger_len: int) -> None:
+    """Apply ON-DEVICE extraction decisions to a columnar batch window.
+
+    ``res`` is `TpuEngine.collect_pallas_decided` output: the device already
+    evaluated extract_reads' decision tree (barcode_hmm.c:3203-3304) on the
+    label path — threshold pass, per-R minlen, barcode alt + null-N
+    rejection, fingerprint key — so the host work left is exactly the byte
+    rewrite: scatter 65-spacers over non-keep positions of successful reads
+    (make_extracted_read, :3325-3356) and store the result columns.  Only
+    callable in the non-subrange, fingerprint<=27nt regime (the streaming
+    runner gates on that); byte-equivalence with the host extractor is
+    asserted by tests/test_multichip.py and the CLI invariance tests.
+    """
+    B = batch.B
+    if B == 0:
+        return
+    batch.mapq[:] = res["mapq"].astype(np.float64)
+    read_type = res["read_type"]
+    batch.read_type[:] = read_type
+    success = read_type == EXTRACT_SUCCESS
+    bar_mem = res["bar_mem"]
+    setb = bar_mem != -1
+    batch.barcode[setb] = bar_mem[setb].astype(np.int64)
+    if required_finger_len:
+        fp_len = min(required_finger_len, 255)
+        batch.fingerprint[success] = (
+            res["fp_key"][success] << 8
+        ) | fp_len
+
+    lens = batch.lens
+    Lfull = int(lens.max(initial=0))
+    if Lfull == 0:
+        return
+    keep = res["keep"]  # [B, >=Lfull] (device width Lp >= Lfull)
+    posf = np.arange(Lfull, dtype=np.int64)[None, :]
+    validf = posf < lens[:, None]
+    blank = (~keep[:, :Lfull]) & validf & success[:, None]
+    bi, bj = np.nonzero(blank)
+    seq_off = batch.seq_off[:-1]
+    batch.seq_arena[seq_off[bi] + bj] = SPACER
+    if batch.qual_len.shape[0]:
+        has_q = batch.qual_len >= 0
+        qmask = blank & has_q[:, None]
+        qi, qj = np.nonzero(qmask)
+        batch.qual_arena[batch.qual_off[qi] + qj] = SPACER
+
+
 def _make_extracted(mb: ModelBag, rs, read: Read, labels: np.ndarray) -> None:
     """make_extracted_read (barcode_hmm.c:3325-3356): non-R bases -> spacer.
 
