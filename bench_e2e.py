@@ -69,6 +69,8 @@ def run_once(fq: str, engine: str, outdir: str, calibration: bool = False) -> di
     import tagdust_tpu.controller as ctl
     from tagdust_tpu.config import parse_args
     from tagdust_tpu.controller import MessageLog, hmm_controller_multiple
+    from tagdust_tpu.io.fastq import SeqReader
+    from tagdust_tpu.io.writer import DemuxWriter
 
     out = os.path.join(outdir, f"bench_{engine}")
     args = [fq, "-arch", fq + "_tagdust_arch.txt", "-o", out]
@@ -82,17 +84,39 @@ def run_once(fq: str, engine: str, outdir: str, calibration: bool = False) -> di
         args += ["-engine", engine]
     param = parse_args(args)
     log = MessageLog()
-    # time the calibration stage separately inside the run
-    cal_time = [0.0]
-    orig_cal = ctl.estimate_q_threshold
+    # per-stage cumulative times (VERDICT r4 item 3).  The pipeline is
+    # threaded — reader and writer run concurrently with the main-thread
+    # label/extract stage — so these are CPU-occupancy numbers per stage,
+    # not additive wall-time slices; "seconds" is the end-to-end wall time.
+    stages = {
+        "stats_prepass": 0.0,
+        "calibration": 0.0,
+        "label_extract": 0.0,
+        "parse": 0.0,
+        "write": 0.0,
+    }
 
-    def timed_cal(*a, **k):
-        t0 = time.perf_counter()
-        r = orig_cal(*a, **k)
-        cal_time[0] += time.perf_counter() - t0
-        return r
+    def timed(key, fn):
+        def wrap(*a, **k):
+            t0 = time.perf_counter()
+            r = fn(*a, **k)
+            stages[key] += time.perf_counter() - t0
+            return r
 
-    ctl.estimate_q_threshold = timed_cal
+        return wrap
+
+    patches = []
+
+    def patch(obj, name, key):
+        orig = getattr(obj, name)
+        patches.append((obj, name, orig))
+        setattr(obj, name, timed(key, orig))
+
+    patch(ctl, "estimate_q_threshold", "calibration")
+    patch(ctl, "get_sequence_stats", "stats_prepass")
+    patch(ctl, "run_get_label_batch", "label_extract")
+    patch(SeqReader, "read_chunk_batch", "parse")
+    patch(DemuxWriter, "write_batch_columnar", "write")
     devnull = open(os.devnull, "w")
     old_err, sys.stderr = sys.stderr, devnull  # silence the run log
     try:
@@ -102,13 +126,19 @@ def run_once(fq: str, engine: str, outdir: str, calibration: bool = False) -> di
     finally:
         sys.stderr = old_err
         devnull.close()
-        ctl.estimate_q_threshold = orig_cal
+        for obj, name, orig in patches:
+            setattr(obj, name, orig)
     total = 0
     for m in log.messages:
         # "[stamp]\t<N>\ttotal input reads\n"
         if "total input reads" in m:
             total = int(m.split("]", 1)[1].strip().split("\t")[0])
-    return {"seconds": dt, "reads": total, "calibration_seconds": cal_time[0]}
+    return {
+        "seconds": dt,
+        "reads": total,
+        "calibration_seconds": stages["calibration"],
+        "stage_seconds": {k: round(v, 2) for k, v in stages.items()},
+    }
 
 
 def main():
@@ -159,6 +189,10 @@ def main():
             rec["calibration_seconds"] = [
                 round(r["calibration_seconds"], 2) for r in trials
             ]
+        med_s = statistics.median(secs)
+        rec["stage_seconds"] = min(
+            trials, key=lambda r: abs(r["seconds"] - med_s)
+        )["stage_seconds"]
         print(json.dumps(rec))
         sys.stdout.flush()
 

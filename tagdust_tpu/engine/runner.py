@@ -616,12 +616,36 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
         # host dust (its label-buffer quirks differ)
         dust_dev = np.empty((B, 2), dtype=np.float32)
 
+    # DEVICE-DECIDED mode (default): the extraction decision tree runs on
+    # the chip alongside the DP and labels never leave the device — the
+    # host receives decisions + keep bits and only rewrites bytes
+    # (extract.apply_device_decisions).  Gated off for subrange decodes and
+    # >27nt fingerprints (host extractor keeps those exact), or via
+    # TAGDUST_TPU_DEVICE_DECISIONS=0.
+    rfl = eng.required_finger_len()
+    decided = (
+        not sub
+        and rfl <= 27
+        and os.environ.get("TAGDUST_TPU_DEVICE_DECISIONS", "1") == "1"
+    )
+    if decided:
+        from ..extract import apply_device_decisions
+
+        thr32 = eng.threshold_f32_ceil(confidence_threshold)
+        minlen = int(param.minlen)
+
     def _extract(s, e, out):
         consumed[0] += 1
+        win = batch.slice(s, e)
+        if decided:
+            res = eng.collect_pallas_decided(out, e - s, Lpad)
+            if dust_dev is not None:
+                dust_dev[s:e] = res["dust"]
+            apply_device_decisions(win, res, rfl)
+            return
         res = eng.collect_pallas(out, e - s, Lpad)
         if dust_dev is not None and res.dust is not None:
             dust_dev[s:e] = res.dust
-        win = batch.slice(s, e)
         win.mapq[:] = res.mapq.astype(np.float64)
         extract_batch_columnar(
             mb, rs, win, res.labels, param.minlen, confidence_threshold,
@@ -647,9 +671,21 @@ def _label_tpu_streaming(mb, rs, batch, param, confidence_threshold) -> bool:
         if len(ready) > 1:
             _extract(*ready.popleft())
 
-    dispatch = (
-        scorer.dispatch_packed if scorer is not None else eng.dispatch_pallas
-    )
+    if decided:
+        if scorer is not None:
+            dispatch = lambda s_, l_: scorer.dispatch_packed_decided(  # noqa: E731
+                s_, l_, thr32, minlen
+            )
+        else:
+            dispatch = lambda s_, l_: eng.dispatch_pallas_decided(  # noqa: E731
+                s_, l_, thr32, minlen
+            )
+    else:
+        dispatch = (
+            scorer.dispatch_packed
+            if scorer is not None
+            else eng.dispatch_pallas
+        )
     try:
         for s in range(0, B, W):
             e = min(s + W, B)

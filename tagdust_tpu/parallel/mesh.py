@@ -148,6 +148,48 @@ class ShardedScorer:
         self._cache[key] = (fn, tile)
         return fn, tile
 
+    def _get_decided_fn(self, Lp: int):
+        """Per-shard DECIDED program (on-device extraction decisions,
+        engine/tpu.py:_get_pallas_decided) under shard_map — threshold and
+        minlen ride along as replicated scalars."""
+        key = ("decided", Lp)
+        if key in self._cache:
+            return self._cache[key]
+        _, raw, _, tile = self.engine._get_pallas_decided(
+            Lp, self.batch_tile or self.engine.default_batch_tile()
+        )
+        fn = jax.jit(
+            shard_map(
+                raw,
+                mesh=self.mesh,
+                in_specs=(P("reads", None), P("reads"), P(), P()),
+                out_specs=P("reads", None),
+                check_vma=False,
+            )
+        )
+        self._cache[key] = (fn, tile)
+        return fn, tile
+
+    def dispatch_packed_decided(
+        self, seqs: np.ndarray, lens: np.ndarray, thr32, minlen: int
+    ):
+        """Mesh analogue of TpuEngine.dispatch_pallas_decided."""
+        B, Lp = seqs.shape
+        fn, tile = self._get_decided_fn(Lp)
+        if B % (self.n * tile):
+            raise ValueError(
+                f"window {B} not a multiple of {self.n} devices x tile {tile}"
+            )
+        seqs_d = jax.device_put(
+            jnp.asarray(seqs.astype(np.uint8)),
+            NamedSharding(self.mesh, P("reads", None)),
+        )
+        lens_d = jax.device_put(
+            jnp.asarray(lens.astype(np.int32)),
+            NamedSharding(self.mesh, P("reads")),
+        )
+        return fn(seqs_d, lens_d, jnp.float32(thr32), jnp.int32(minlen))
+
     def dispatch_packed(self, seqs: np.ndarray, lens: np.ndarray):
         """Asynchronously dispatch one packed window sharded over the mesh;
         returns the sharded device array without blocking (the mesh

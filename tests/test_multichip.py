@@ -232,12 +232,20 @@ def test_streaming_composes_with_mesh(monkeypatch):
 
     calls = {"packed": 0}
     orig = mesh_mod.ShardedScorer.dispatch_packed
+    orig_dec = mesh_mod.ShardedScorer.dispatch_packed_decided
 
     def spy(self, seqs, lens):
         calls["packed"] += 1
         return orig(self, seqs, lens)
 
+    def spy_dec(self, seqs, lens, thr, minlen):
+        calls["packed"] += 1
+        return orig_dec(self, seqs, lens, thr, minlen)
+
     monkeypatch.setattr(mesh_mod.ShardedScorer, "dispatch_packed", spy)
+    monkeypatch.setattr(
+        mesh_mod.ShardedScorer, "dispatch_packed_decided", spy_dec
+    )
 
     # mesh streaming run (8 devices visible on this rig)
     monkeypatch.setenv("TAGDUST_TPU_MESH", "1")
@@ -260,7 +268,78 @@ def test_streaming_composes_with_mesh(monkeypatch):
         np.testing.assert_array_equal(b_mesh.read_type, other.read_type)
         np.testing.assert_array_equal(b_mesh.barcode, other.barcode)
         np.testing.assert_array_equal(b_mesh.seq_arena, other.seq_arena)
+        np.testing.assert_array_equal(b_mesh.fingerprint, other.fingerprint)
         np.testing.assert_allclose(b_mesh.mapq, other.mapq, atol=1e-4)
+
+
+def test_device_decisions_match_host_extractor(monkeypatch):
+    """On-device extraction decisions (VERDICT r4 item 5) vs the host
+    columnar extractor, on an architecture with a fingerprint segment and a
+    minlen that trips the too-short path: identical read_type, barcode,
+    fingerprint keys, rewritten bytes and qualities."""
+    from types import SimpleNamespace
+
+    from tagdust_tpu.arch import build_read_structure
+    from tagdust_tpu.engine import runner as R
+    from tagdust_tpu.logsum import p2sp
+    from tagdust_tpu.model import init_model_bag
+    from tagdust_tpu.stats import SequenceStats
+
+    monkeypatch.setenv("TAGDUST_TPU_PALLAS", "1")
+    monkeypatch.setenv("TAGDUST_TPU_BT", "8")
+    monkeypatch.setenv("TAGDUST_TPU_WINDOW", "64")
+    monkeypatch.setenv("TAGDUST_TPU_STRICT", "1")
+    monkeypatch.setenv("TAGDUST_TPU_MESH", "0")
+
+    rs = build_read_structure(["B:ACGTAC,TGCATG", "F:NNNNNNNN", "R:N"])
+    ssi = SequenceStats()
+    ssi.average_length = 30
+    ssi.max_seq_len = 40
+    ssi.background = [float(p2sp(p)) for p in (0.27, 0.24, 0.26, 0.22, 0.01)]
+    ssi.mean_5_len = ssi.stdev_5_len = -1.0
+    ssi.mean_3_len = ssi.stdev_3_len = -1.0
+    mb = init_model_bag(rs, ssi, 0.05, 0.1)
+    param = SimpleNamespace(
+        engine="tpu", rtest=False, matchstart=-1, matchend=-1,
+        minlen=14, dust=0, num_threads=4,  # minlen trips some reads
+    )
+
+    def mk_batch():
+        from tagdust_tpu.io.batch import ReadBatch
+        from tagdust_tpu.io.fastq import Read
+
+        rng = np.random.default_rng(23)
+        reads = []
+        for i in range(160):
+            bc = ["ACGTAC", "TGCATG"][i % 2]
+            umi = "".join(rng.choice(list("ACGT"), size=8))
+            tail = "".join(
+                rng.choice(list("ACGT"), size=int(rng.integers(8, 26)))
+            )
+            s = (bc + umi + tail) if i % 6 else (umi + tail)
+            seq = np.frombuffer(s.encode(), dtype=np.uint8)
+            code = np.zeros(seq.shape[0], dtype=np.uint8)
+            for k, c in enumerate("ACGT"):
+                code[seq == ord(c)] = k
+            reads.append(Read(name=f"u{i}", seq=code, qual="I" * len(s)))
+        return ReadBatch.from_reads(reads)
+
+    results = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("TAGDUST_TPU_DEVICE_DECISIONS", mode)
+        b = mk_batch()
+        R.run_get_label_batch(mb, rs, b, param, 2.0)
+        results[mode] = b
+
+    dev, host = results["1"], results["0"]
+    np.testing.assert_array_equal(dev.read_type, host.read_type)
+    np.testing.assert_array_equal(dev.barcode, host.barcode)
+    np.testing.assert_array_equal(dev.fingerprint, host.fingerprint)
+    np.testing.assert_array_equal(dev.seq_arena, host.seq_arena)
+    np.testing.assert_array_equal(dev.qual_arena, host.qual_arena)
+    np.testing.assert_allclose(dev.mapq, host.mapq, atol=0)
+    # both outcome classes present, else the comparison proves little
+    assert (dev.read_type == 0).any() and (dev.read_type != 0).any()
 
 
 @requires_dev
