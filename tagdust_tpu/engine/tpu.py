@@ -756,7 +756,15 @@ class TpuEngine:
                 [128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.int32
             )
 
-            def full_decided(seqs_u8, lens, thr32, minlen):
+            def full_decided(seqs_packed, lens, thr32, minlen):
+                # inputs arrive nibble-packed (2 bases/byte, codes 0-5 fit
+                # 4 bits): host->device uploads are the streaming wall on
+                # high-latency links (~10-30 MB/s on this rig's tunnel), so
+                # halving the bytes buys more than the one VPU unpack costs
+                Bp = seqs_packed.shape[0]
+                lo = seqs_packed & 0xF
+                hi = seqs_packed >> 4
+                seqs_u8 = jnp.stack([lo, hi], axis=2).reshape(Bp, Lp)
                 f, r, b, lab, q = full(seqs_u8, lens)
                 seqs = seqs_u8.astype(jnp.int32)
                 dust = dust_scores_device(
@@ -873,17 +881,23 @@ class TpuEngine:
             )
         return self._pallas_cache[key]
 
+    @staticmethod
+    def pack_nibbles(seqs: np.ndarray) -> np.ndarray:
+        """[B, Lp] codes (0-5) -> [B, Lp/2] nibble-packed uint8."""
+        return (seqs[:, 0::2] | (seqs[:, 1::2] << 4)).astype(np.uint8)
+
     def dispatch_pallas_decided(
         self, seqs: np.ndarray, lens: np.ndarray, thr32, minlen: int
     ):
         """Asynchronous dispatch of the decided-mode pipeline (labels never
-        leave the device; the host receives decisions + keep bits)."""
+        leave the device; the host receives decisions + keep bits; the
+        upload is nibble-packed)."""
         B, Lp = seqs.shape
         fn, _, _, BT = self._get_pallas_decided(Lp)
         if B % BT:
             raise ValueError(f"batch {B} not a multiple of the tile {BT}")
         return fn(
-            jnp.asarray(seqs.astype(np.uint8)),
+            jnp.asarray(self.pack_nibbles(seqs.astype(np.uint8))),
             jnp.asarray(lens.astype(np.int32)),
             jnp.float32(thr32),
             jnp.int32(minlen),

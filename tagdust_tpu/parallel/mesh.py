@@ -173,7 +173,8 @@ class ShardedScorer:
     def dispatch_packed_decided(
         self, seqs: np.ndarray, lens: np.ndarray, thr32, minlen: int
     ):
-        """Mesh analogue of TpuEngine.dispatch_pallas_decided."""
+        """Mesh analogue of TpuEngine.dispatch_pallas_decided (uploads are
+        nibble-packed like the single-chip path)."""
         B, Lp = seqs.shape
         fn, tile = self._get_decided_fn(Lp)
         if B % (self.n * tile):
@@ -181,7 +182,7 @@ class ShardedScorer:
                 f"window {B} not a multiple of {self.n} devices x tile {tile}"
             )
         seqs_d = jax.device_put(
-            jnp.asarray(seqs.astype(np.uint8)),
+            jnp.asarray(self.engine.pack_nibbles(seqs.astype(np.uint8))),
             NamedSharding(self.mesh, P("reads", None)),
         )
         lens_d = jax.device_put(
