@@ -989,6 +989,24 @@ class TpuEngine:
         consume scores."""
         B, Lp = seqs.shape
         fullfn, _, BT = self._get_pallas(Lp)
+        pack = Lp % 2 == 0
+        if pack:
+            # nibble-packed upload entry (same body, half the link bytes —
+            # this is the calibration sweep's dominant transfer)
+            key = ("full_nibble", Lp, BT)
+            if key not in self._pallas_cache:
+                _, full, _ = self._get_pallas(Lp, BT)
+
+                def full_nibble(sp, lens_):
+                    Bp = sp.shape[0]
+                    lo = sp & 0xF
+                    hi = sp >> 4
+                    return full(
+                        jnp.stack([lo, hi], axis=2).reshape(Bp, Lp), lens_
+                    )
+
+                self._pallas_cache[key] = jax.jit(full_nibble)
+            fullfn = self._pallas_cache[key]
         max_b = self._PALLAS_STACK_BYTES // self.pallas_stack_bytes_per_read(Lp)
         max_b = max(BT, max_b // BT * BT)
         pad = (-B) % BT
@@ -1015,9 +1033,14 @@ class TpuEngine:
                     [sb, np.broadcast_to(sb[:1], (pad_n, Lp))], axis=0
                 )
                 lb = np.concatenate([lb, np.broadcast_to(lb[:1], (pad_n,))])
+            up = (
+                self.pack_nibbles(sb.astype(np.uint8))
+                if pack
+                else sb.astype(np.uint8)
+            )
             outs.append(
                 fullfn(
-                    jnp.asarray(sb.astype(np.uint8)),
+                    jnp.asarray(up),
                     jnp.asarray(lb.astype(np.int32)),
                 )
             )
