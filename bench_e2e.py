@@ -65,7 +65,10 @@ def make_input(n_reads: int, readlen: int, barnum: int) -> str:
     return fq
 
 
-def run_once(fq: str, engine: str, outdir: str, calibration: bool = False) -> dict:
+def run_once(
+    fq: str, engine: str, outdir: str, calibration: bool = False,
+    q: float = 10.0,
+) -> dict:
     import tagdust_tpu.controller as ctl
     from tagdust_tpu.config import parse_args
     from tagdust_tpu.controller import MessageLog, hmm_controller_multiple
@@ -79,7 +82,7 @@ def run_once(fq: str, engine: str, outdir: str, calibration: bool = False) -> di
         # (calibrateQ.c:47); -seed pins the sim stream so trials compare
         args += ["-seed", "42"]
     else:
-        args += ["-Q", "10"]
+        args += ["-Q", str(q)]
     if engine != "auto":
         args += ["-engine", engine]
     param = parse_args(args)

@@ -103,6 +103,13 @@ def dust_scores_device(seqs, labels, lens, is_r_label):
     return jnp.stack([d_ext, d_raw], axis=1)
 
 
+def nibble_uploads() -> bool:
+    """Ship sequence uploads nibble-packed (2 bases/byte)?  Default on;
+    TAGDUST_TPU_NIBBLE=0 reverts to plain uint8 uploads (A/B lever — the
+    win depends on the host->device link's bytes/s vs the packing cost)."""
+    return os.environ.get("TAGDUST_TPU_NIBBLE", "1") == "1"
+
+
 def _expand(v, oh, S):
     """[B,S] x [B,5] -> [B, 5S] with layout (c, s)."""
     return (oh[:, :, None] * v[:, None, :]).reshape(v.shape[0], 5 * S)
@@ -728,7 +735,8 @@ class TpuEngine:
         """
         if BT is None:
             BT = self.default_batch_tile()
-        key = ("decided", Lp, BT)
+        nib = nibble_uploads()
+        key = ("decided", Lp, BT, nib)
         if not hasattr(self, "_pallas_cache"):
             self._pallas_cache = {}
         if key not in self._pallas_cache:
@@ -756,15 +764,18 @@ class TpuEngine:
                 [128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.int32
             )
 
-            def full_decided(seqs_packed, lens, thr32, minlen):
-                # inputs arrive nibble-packed (2 bases/byte, codes 0-5 fit
-                # 4 bits): host->device uploads are the streaming wall on
-                # high-latency links (~10-30 MB/s on this rig's tunnel), so
-                # halving the bytes buys more than the one VPU unpack costs
-                Bp = seqs_packed.shape[0]
-                lo = seqs_packed & 0xF
-                hi = seqs_packed >> 4
-                seqs_u8 = jnp.stack([lo, hi], axis=2).reshape(Bp, Lp)
+            def full_decided(seqs_in, lens, thr32, minlen):
+                # with TAGDUST_TPU_NIBBLE=1 inputs arrive nibble-packed
+                # (2 bases/byte, codes 0-5 fit 4 bits): host->device uploads
+                # are the streaming wall on high-latency links, so halving
+                # the bytes buys more than the one VPU unpack costs
+                if nib:
+                    Bp = seqs_in.shape[0]
+                    lo = seqs_in & 0xF
+                    hi = seqs_in >> 4
+                    seqs_u8 = jnp.stack([lo, hi], axis=2).reshape(Bp, Lp)
+                else:
+                    seqs_u8 = seqs_in
                 f, r, b, lab, q = full(seqs_u8, lens)
                 seqs = seqs_u8.astype(jnp.int32)
                 dust = dust_scores_device(
@@ -896,8 +907,11 @@ class TpuEngine:
         fn, _, _, BT = self._get_pallas_decided(Lp)
         if B % BT:
             raise ValueError(f"batch {B} not a multiple of the tile {BT}")
+        up = seqs.astype(np.uint8)
+        if nibble_uploads():
+            up = self.pack_nibbles(up)
         return fn(
-            jnp.asarray(self.pack_nibbles(seqs.astype(np.uint8))),
+            jnp.asarray(up),
             jnp.asarray(lens.astype(np.int32)),
             jnp.float32(thr32),
             jnp.int32(minlen),
@@ -989,7 +1003,7 @@ class TpuEngine:
         consume scores."""
         B, Lp = seqs.shape
         fullfn, _, BT = self._get_pallas(Lp)
-        pack = Lp % 2 == 0
+        pack = Lp % 2 == 0 and nibble_uploads()
         if pack:
             # nibble-packed upload entry (same body, half the link bytes —
             # this is the calibration sweep's dominant transfer)

@@ -152,7 +152,9 @@ class ShardedScorer:
         """Per-shard DECIDED program (on-device extraction decisions,
         engine/tpu.py:_get_pallas_decided) under shard_map — threshold and
         minlen ride along as replicated scalars."""
-        key = ("decided", Lp)
+        from ..engine.tpu import nibble_uploads
+
+        key = ("decided", Lp, nibble_uploads())
         if key in self._cache:
             return self._cache[key]
         _, raw, _, tile = self.engine._get_pallas_decided(
@@ -181,8 +183,13 @@ class ShardedScorer:
             raise ValueError(
                 f"window {B} not a multiple of {self.n} devices x tile {tile}"
             )
+        from ..engine.tpu import nibble_uploads
+
+        up = seqs.astype(np.uint8)
+        if nibble_uploads():
+            up = self.engine.pack_nibbles(up)
         seqs_d = jax.device_put(
-            jnp.asarray(self.engine.pack_nibbles(seqs.astype(np.uint8))),
+            jnp.asarray(up),
             NamedSharding(self.mesh, P("reads", None)),
         )
         lens_d = jax.device_put(
