@@ -728,9 +728,10 @@ class TpuEngine:
 
         One uint8 row per read:
         ``keep_bits[Lp/8] | read_type[1] | bar_mem i32[4] | fp_lo u32[4] |
-        fp_hi u32[4] | (f, r, bar, q) f32[16] | dust f32[8]`` —
-        Lp/8 + 37 bytes, vs lab_bytes*(Lp+1) + 24 for the label-carrying
-        row: the host no longer downloads (or walks) labels at all.
+        fp_hi u32[4] | q f32[4] | dust f32[8]`` — Lp/8 + 25 bytes, vs
+        lab_bytes*(Lp+1) + 24 for the label-carrying row: the host no
+        longer downloads (or walks) labels at all, and the raw f/r/bar
+        scores stay on device too (production only consumes Q).
         Returns ``(jitted, raw, row_bytes, BT)``.
         """
         if BT is None:
@@ -872,7 +873,6 @@ class TpuEngine:
                 u8 = lambda x: jax.lax.bitcast_convert_type(  # noqa: E731
                     x, jnp.uint8
                 ).reshape(B, -1)
-                sc = jnp.stack([f, r, b, q], axis=1)  # [B, 4] f32
                 return jnp.concatenate(
                     [
                         keep_bytes,
@@ -880,7 +880,7 @@ class TpuEngine:
                         u8(bar_mem[:, None]),
                         u8(lo[:, None]),
                         u8(hi[:, None]),
-                        u8(sc),
+                        u8(q[:, None]),
                         u8(dust),
                     ],
                     axis=1,
@@ -888,7 +888,7 @@ class TpuEngine:
 
             wrapped = _f32_precision_wrap(full_decided)
             self._pallas_cache[key] = (
-                jax.jit(wrapped), wrapped, Lp // 8 + 37, BT
+                jax.jit(wrapped), wrapped, Lp // 8 + 25, BT
             )
         return self._pallas_cache[key]
 
@@ -941,17 +941,14 @@ class TpuEngine:
         lo = np.ascontiguousarray(a[:, kb + 5 : kb + 9]).view(np.uint32)[:, 0]
         hi = np.ascontiguousarray(a[:, kb + 9 : kb + 13]).view(np.uint32)[:, 0]
         fp_key = (hi.astype(np.int64) << 32) | lo.astype(np.int64)
-        sc = np.ascontiguousarray(a[:, kb + 13 : kb + 37]).view(np.float32)
+        sc = np.ascontiguousarray(a[:, kb + 13 : kb + 25]).view(np.float32)
         return {
             "keep": keep,
             "read_type": read_type,
             "bar_mem": bar_mem,
             "fp_key": fp_key,
-            "f": sc[:, 0],
-            "r": sc[:, 1],
-            "bar": sc[:, 2],
-            "mapq": sc[:, 3],
-            "dust": sc[:, 4:6],
+            "mapq": sc[:, 0],
+            "dust": sc[:, 1:3],
         }
 
     def _is_r_label(self) -> np.ndarray:
