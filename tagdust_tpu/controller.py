@@ -171,13 +171,18 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
     param.num_query = 1000 if param.rtest else 1000001
     # streaming chunk size: the reference reads 1,000,001-read batches
     # (barcode_hmm.c:165-175); output bytes are chunk-size invariant (the
-    # writer appends per chunk), so production uses smaller chunks to
-    # overlap reader/score/writer stages.  RTEST keeps the reference's
-    # 1000-read batches for determinism parity; stats keeps num_query.
+    # writer appends per chunk).  Production matches the reference's 1M
+    # batches: the device streaming pipeline drains its in-flight windows
+    # at every chunk boundary, so fewer/bigger chunks keep the overlap
+    # (A/B on 10M reads: 262144 -> 1M chunks cut e2e wall ~25%); the
+    # reader/writer threads still overlap across chunks via the queues.
+    # Peak memory is ~4 chunks of arenas (~5x the per-chunk input bytes).
+    # RTEST keeps the reference's 1000-read batches for determinism
+    # parity; stats keeps num_query.
     read_chunk = param.num_query
     env_chunk = os.environ.get("TAGDUST_TPU_CHUNK")
     if not param.rtest:
-        read_chunk = int(env_chunk or 262144)
+        read_chunk = int(env_chunk or 1000000)
     elif env_chunk:
         # explicit override honoured in RTEST too: the chunk-invariance
         # tests (the reference's thread_test.sh analogue) sweep chunk sizes
