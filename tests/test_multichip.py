@@ -385,3 +385,25 @@ def test_cli_streaming_device_count_invariance(tmp_path):
     assert outs[1].keys() == outs[8].keys()
     for k in outs[1]:
         assert outs[1][k] == outs[8][k], f"{k} differs between 1 and 8 devices"
+
+
+def test_nibble_gate_rows_identical(monkeypatch):
+    """Decided-mode rows must be byte-identical with nibble-packed and
+    plain uploads (TAGDUST_TPU_NIBBLE=1/0) — the A/B lever must never
+    change results."""
+    from tagdust_tpu.engine import runner as R
+
+    monkeypatch.setenv("TAGDUST_TPU_PALLAS", "1")
+    monkeypatch.setenv("TAGDUST_TPU_BT", "8")
+    rs, mb, param = _lite_setup()
+    R.seed_engine(mb, R.get_engine(mb, "tpu"), "tpu")
+    eng = R.get_engine(mb, "tpu")
+    rng = np.random.default_rng(5)
+    seqs = rng.integers(0, 5, (16, 32)).astype(np.uint8)
+    lens = rng.integers(10, 33, 16).astype(np.int32)
+    rows = {}
+    for nib in ("1", "0"):
+        monkeypatch.setenv("TAGDUST_TPU_NIBBLE", nib)
+        out = eng.dispatch_pallas_decided(seqs, lens, np.float32(2.0), 10)
+        rows[nib] = np.asarray(out)
+    np.testing.assert_array_equal(rows["1"], rows["0"])
