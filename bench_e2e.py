@@ -154,6 +154,10 @@ def main():
         "--engine", default="tpu", choices=["tpu", "exact", "auto", "both"]
     )
     ap.add_argument(
+        "--q", type=float, default=10.0,
+        help="pinned -Q threshold for non-calibration runs",
+    )
+    ap.add_argument(
         "--calibration", action="store_true",
         help="default-flag runs: no -Q, each trial pays the 400k-sim "
              "threshold calibration (timed separately)",
@@ -167,7 +171,10 @@ def main():
         warmup = None
         for t in range(args.trials + 1):
             with tempfile.TemporaryDirectory() as outdir:
-                r = run_once(fq, engine, outdir, calibration=args.calibration)
+                r = run_once(
+                    fq, engine, outdir, calibration=args.calibration,
+                    q=args.q,
+                )
             if t == 0:
                 warmup = round(r["seconds"], 2)
                 continue
@@ -176,7 +183,11 @@ def main():
         reads = trials[0]["reads"]
         best = reads / min(secs)
         med = reads / statistics.median(secs)
-        flags = "default flags incl. calibration" if args.calibration else "-Q 10"
+        flags = (
+            "default flags incl. calibration"
+            if args.calibration
+            else f"-Q {args.q:g}"
+        )
         rec = {
             "metric": f"e2e CLI reads/s ({engine} engine, {flags}, "
                       f"{args.barnum}x6nt barcodes, {args.readlen}nt reads)",

@@ -110,6 +110,16 @@ def nibble_uploads() -> bool:
     return os.environ.get("TAGDUST_TPU_NIBBLE", "1") == "1"
 
 
+def unpack_nibbles_device(sp, Lp: int):
+    """Device inverse of TpuEngine.pack_nibbles: [B, Lp/2] packed uint8 ->
+    [B, Lp] codes.  THE one unpack — the layout (base 2k in the low nibble,
+    2k+1 in the high) must match the host pack everywhere."""
+    B = sp.shape[0]
+    lo = sp & 0xF
+    hi = sp >> 4
+    return jnp.stack([lo, hi], axis=2).reshape(B, Lp)
+
+
 def _expand(v, oh, S):
     """[B,S] x [B,5] -> [B, 5S] with layout (c, s)."""
     return (oh[:, :, None] * v[:, None, :]).reshape(v.shape[0], 5 * S)
@@ -550,8 +560,7 @@ class TpuEngine:
 
             # labels fit int8 whenever the label alphabet allows: shrinks the
             # device->host transfer 4x (labels dominate the result bytes)
-            n_labels = int(np.asarray(self._dev["Lmap"]).shape[1])
-            lab_dtype = jnp.int8 if n_labels + 1 <= 127 else jnp.int32
+            lab_dtype = jnp.int8 if self._lab_bytes() == 1 else jnp.int32
 
             def full(seqs_u8, lens):
                 seqs = seqs_u8.astype(jnp.int32)
@@ -642,10 +651,7 @@ class TpuEngine:
                     ).reshape(lab.shape[0], -1)
                 return jnp.concatenate([labb, scb], axis=1)
 
-            lab_bytes = 1
-            n_labels = int(np.asarray(self._dev["Lmap"]).shape[1])
-            if n_labels + 1 > 127:
-                lab_bytes = 4
+            lab_bytes = self._lab_bytes()
             wrapped = _f32_precision_wrap(full_packed)
             self._pallas_cache[key] = (
                 jax.jit(wrapped), wrapped, lab_bytes, BT
@@ -667,50 +673,32 @@ class TpuEngine:
         )
 
     def required_finger_len(self) -> int:
-        """Total F-segment length (extract_reads' required_finger_len,
-        barcode_hmm.c:3188-3195)."""
-        rs = self.mb.rs
-        if rs is None:
-            return 0
-        return sum(
-            len(rs.seqs[j][0])
-            for j in range(rs.num_segments)
-            if rs.types[j] == "F"
-        )
+        """Total F-segment length — delegates to the ONE definition in
+        extract.py so the device gate and the host extractors agree."""
+        from ..extract import required_finger_length
+
+        return required_finger_length(self.mb.rs)
 
     def _label_tables(self) -> dict:
-        """Per-label decode tables for the on-device extraction decisions
-        (extract_reads, barcode_hmm.c:3203-3304): segment index, alternative
-        index, segment-type membership and the null-N-alternative flag,
-        each indexed by label value."""
+        """Per-label decode tables for the on-device extraction decisions —
+        the SAME tables the host columnar extractor uses
+        (extract.label_decode_tables); cached per engine."""
         cached = getattr(self, "_lab_tables_cache", None)
         if cached is None:
-            lab_tab = np.asarray(self.mb.label, dtype=np.int64)
-            n = lab_tab.shape[0]
-            seg = (lab_tab & 0xFFFF).astype(np.int32)
-            alt = ((lab_tab >> 16) & 0x7FFF).astype(np.int32)
-            rs = self.mb.rs
-            types = rs.types if rs is not None else []
-            tcode = np.zeros(n, dtype=np.int32)
-            null_b = np.zeros(n, dtype=bool)
-            for li in range(n):
-                s = int(seg[li])
-                if s < len(types):
-                    tcode[li] = ord(types[s])
-                    if (
-                        types[s] == "B"
-                        and int(alt[li]) == rs.numseq_in_segment(s) - 1
-                    ):
-                        null_b[li] = True
-            cached = self._lab_tables_cache = {
-                "seg": seg,
-                "alt": alt,
-                "is_F": tcode == ord("F"),
-                "is_B": tcode == ord("B"),
-                "is_R": tcode == ord("R"),
-                "null_b": null_b,
-            }
+            from ..extract import label_decode_tables
+
+            cached = self._lab_tables_cache = label_decode_tables(
+                self.mb, self.mb.rs
+            )
         return cached
+
+    def _lab_bytes(self) -> int:
+        """Bytes per label in packed rows: int8 whenever the label alphabet
+        allows (values 0..H fit 127), else int32.  THE one cutoff shared by
+        the kernel builder, the packed-row builder and the collector —
+        mismatched copies would slice packed rows at wrong offsets."""
+        n_labels = int(np.asarray(self._dev["Lmap"]).shape[1])
+        return 1 if n_labels + 1 <= 127 else 4
 
     def _get_pallas_decided(self, Lp: int, BT: Optional[int] = None):
         """Packed pipeline WITH the per-read extraction decisions computed
@@ -770,13 +758,9 @@ class TpuEngine:
                 # (2 bases/byte, codes 0-5 fit 4 bits): host->device uploads
                 # are the streaming wall on high-latency links, so halving
                 # the bytes buys more than the one VPU unpack costs
-                if nib:
-                    Bp = seqs_in.shape[0]
-                    lo = seqs_in & 0xF
-                    hi = seqs_in >> 4
-                    seqs_u8 = jnp.stack([lo, hi], axis=2).reshape(Bp, Lp)
-                else:
-                    seqs_u8 = seqs_in
+                seqs_u8 = (
+                    unpack_nibbles_device(seqs_in, Lp) if nib else seqs_in
+                )
                 f, r, b, lab, q = full(seqs_u8, lens)
                 seqs = seqs_u8.astype(jnp.int32)
                 dust = dust_scores_device(
@@ -971,8 +955,7 @@ class TpuEngine:
         a = np.asarray(out)[:n]
         # lab_bytes is a model property (label-alphabet size), independent
         # of the dispatching tile — don't touch the packed-fn cache here
-        n_labels = int(np.asarray(self._dev["Lmap"]).shape[1])
-        lab_bytes = 1 if n_labels + 1 <= 127 else 4
+        lab_bytes = self._lab_bytes()
         lw = lab_bytes * (Lp + 1)
         labs = np.ascontiguousarray(a[:, :lw])
         labels = (
@@ -1009,12 +992,7 @@ class TpuEngine:
                 _, full, _ = self._get_pallas(Lp, BT)
 
                 def full_nibble(sp, lens_):
-                    Bp = sp.shape[0]
-                    lo = sp & 0xF
-                    hi = sp >> 4
-                    return full(
-                        jnp.stack([lo, hi], axis=2).reshape(Bp, Lp), lens_
-                    )
+                    return full(unpack_nibbles_device(sp, Lp), lens_)
 
                 self._pallas_cache[key] = jax.jit(full_nibble)
             fullfn = self._pallas_cache[key]

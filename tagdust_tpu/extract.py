@@ -64,6 +64,55 @@ def compute_q(f_score, r_score, bar_prob) -> np.ndarray:
     return q
 
 
+def required_finger_length(rs) -> int:
+    """Total F-segment length (extract_reads' required_finger_len,
+    barcode_hmm.c:3188-3195).  THE one definition — the host extractors and
+    the on-device decision pipeline must gate on the same value."""
+    if rs is None:
+        return 0
+    return sum(
+        len(rs.seqs[j][0])
+        for j in range(rs.num_segments)
+        if rs.types[j] == "F"
+    )
+
+
+def label_decode_tables(mb: ModelBag, rs) -> dict:
+    """Per-label decode tables (segment id, alternative id, segment-type
+    membership, null-N-alternative flag), indexed by label value.
+
+    THE one definition consumed by both the host columnar extractor and
+    the on-device decision pipeline (`engine/tpu.py:_label_tables`) — the
+    device/host byte-equivalence contract requires a single source for the
+    label encoding (c1 = label table entry, c2 = c1 & 0xFFFF segment,
+    c3 = (c1 >> 16) & 0x7FFF alternative; extract_reads,
+    barcode_hmm.c:3203-3231)."""
+    lab_tab = np.asarray(mb.label, dtype=np.int64)
+    seg = (lab_tab & 0xFFFF).astype(np.int32)
+    alt = ((lab_tab >> 16) & 0x7FFF).astype(np.int32)
+    types = rs.types if rs is not None else []
+    nseg = rs.num_segments if rs is not None else 0
+    types_arr = np.array([ord(t) for t in types] + [0], dtype=np.int32)
+    nseq_arr = np.array(
+        [rs.numseq_in_segment(j) for j in range(nseg)] + [0], dtype=np.int32
+    )
+    seg_clip = np.minimum(seg, len(types_arr) - 1)
+    tcode = types_arr[seg_clip]
+    is_B = tcode == ord("B")
+    null_b = is_B & (
+        alt == nseq_arr[np.minimum(seg_clip, len(nseq_arr) - 1)] - 1
+    )
+    return {
+        "seg": seg,
+        "alt": alt,
+        "tcode": tcode,
+        "is_F": tcode == ord("F"),
+        "is_B": is_B,
+        "is_R": tcode == ord("R"),
+        "null_b": null_b,
+    }
+
+
 def extract_read(
     mb: ModelBag,
     rs,
@@ -84,10 +133,7 @@ def extract_read(
         offset = matchstart
         L = matchend - matchstart
 
-    required_finger_len = 0
-    for j in range(rs.num_segments):
-        if rs.types[j] == "F":
-            required_finger_len += len(rs.seqs[j][0])
+    required_finger_len = required_finger_length(rs)
 
     if confidence_threshold <= read.mapq:
         fingerlen = 0
@@ -244,30 +290,17 @@ def extract_batch_columnar(
     Ldec = max(int(dec_lens.max(initial=0)), 1)  # keep [B, Ldec] ops non-empty
     Lpad1 = labels.shape[1]
 
-    required_finger_len = 0
-    for j in range(rs.num_segments):
-        if rs.types[j] == "F":
-            required_finger_len += len(rs.seqs[j][0])
+    required_finger_len = required_finger_length(rs)
 
     # tiny per-label lookup tables so the [B, L] work is bool/int32 only
     # (large-temporary footprint matters: first-touch page faults dominate
-    # on some hosts)
-    lab_tab = np.asarray(mb.label, dtype=np.int64)
-    seg_of = (lab_tab & 0xFFFF).astype(np.int32)  # c2 per label index
-    alt_of = ((lab_tab >> 16) & 0x7FFF).astype(np.int32)  # c3 per label index
-    types_arr = np.array([ord(t) for t in rs.types] + [0], dtype=np.int32)
-    nseq_arr = np.array(
-        [rs.numseq_in_segment(j) for j in range(rs.num_segments)] + [0],
-        dtype=np.int32,
-    )
-    seg_clip = np.minimum(seg_of, len(types_arr) - 1)
-    type_of_label = types_arr[seg_clip]
-    is_F_label = type_of_label == ord("F")
-    is_B_label = type_of_label == ord("B")
-    is_R_label = type_of_label == ord("R")
-    null_of_label = is_B_label & (
-        alt_of == nseq_arr[np.minimum(seg_clip, len(nseq_arr) - 1)] - 1
-    )
+    # on some hosts); shared with the device decision pipeline
+    T = label_decode_tables(mb, rs)
+    seg_of = T["seg"]  # c2 per label index
+    alt_of = T["alt"]  # c3 per label index
+    is_F_label = T["is_F"]
+    is_R_label = T["is_R"]
+    null_of_label = T["null_b"]
 
     # decoded-region labels, positions j in [0, Ldec)
     lab_dec = np.zeros((B, Ldec), dtype=np.int32)
@@ -277,7 +310,7 @@ def extract_batch_columnar(
     valid = pos < dec_lens[:, None]
 
     tF = is_F_label[lab_dec] & valid
-    tB = is_B_label[lab_dec] & valid
+    tB = T["is_B"][lab_dec] & valid
     tR = is_R_label[lab_dec] & valid
 
     mapq = np.asarray(batch.mapq, dtype=np.float64)

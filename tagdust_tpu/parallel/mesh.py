@@ -130,12 +130,15 @@ class ShardedScorer:
         windows, single-fetch results and async copies when the mesh is
         engaged — the multi-chip path is the single-chip path times n,
         not a different program (VERDICT r4, item 1)."""
-        key = ("packed", Lp)
+        # key carries the tile: TAGDUST_TPU_BT may change between chunks in
+        # one process, and a stale fn with a different baked tile would
+        # reject (or mis-pad) freshly built windows (same rule as the
+        # engine-side packed cache)
+        tile = self.batch_tile or self.engine.default_batch_tile()
+        key = ("packed", Lp, tile)
         if key in self._cache:
             return self._cache[key]
-        _, raw, _, tile = self.engine._get_pallas_packed(
-            Lp, self.batch_tile or self.engine.default_batch_tile()
-        )
+        _, raw, _, tile = self.engine._get_pallas_packed(Lp, tile)
         fn = jax.jit(
             shard_map(
                 raw,
@@ -154,12 +157,11 @@ class ShardedScorer:
         minlen ride along as replicated scalars."""
         from ..engine.tpu import nibble_uploads
 
-        key = ("decided", Lp, nibble_uploads())
+        tile = self.batch_tile or self.engine.default_batch_tile()
+        key = ("decided", Lp, tile, nibble_uploads())
         if key in self._cache:
             return self._cache[key]
-        _, raw, _, tile = self.engine._get_pallas_decided(
-            Lp, self.batch_tile or self.engine.default_batch_tile()
-        )
+        _, raw, _, tile = self.engine._get_pallas_decided(Lp, tile)
         fn = jax.jit(
             shard_map(
                 raw,
