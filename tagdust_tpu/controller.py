@@ -180,15 +180,20 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
     # RTEST keeps the reference's 1000-read batches for determinism
     # parity; stats keeps num_query.
     read_chunk = param.num_query
+    first_chunk = read_chunk
     env_chunk = os.environ.get("TAGDUST_TPU_CHUNK")
     if not param.rtest:
         read_chunk = int(env_chunk or 1000000)
+        first_chunk = min(
+            read_chunk,
+            int(os.environ.get("TAGDUST_TPU_FIRST_CHUNK", "131072")),
+        )
     elif env_chunk:
         # explicit override honoured in RTEST too: the chunk-invariance
         # tests (the reference's thread_test.sh analogue) sweep chunk sizes
         # and assert byte-identical output (stats/calibration still consume
         # num_query reads, so the RNG stream is chunk-size independent)
-        read_chunk = int(env_chunk)
+        read_chunk = first_chunk = int(env_chunk)
 
     def _compute_stats_thresholds():
         stats = []
@@ -288,28 +293,37 @@ def hmm_controller_multiple(param, log: Optional[MessageLog] = None) -> None:
         try:
             cidx = 0
             while not stop.is_set():
+                # a smaller FIRST chunk primes the pipeline: chunk 0's parse
+                # cannot overlap anything (there is nothing to score yet), so
+                # at the 1M-read production chunk size a short leading chunk
+                # gets the device working ~1.5 s sooner.  The schedule is a
+                # pure function of cidx, identical on every host (chunk
+                # ownership and boundaries must agree across processes), and
+                # output bytes are chunk-size invariant (asserted by
+                # tests/test_dev_fixtures.py).
+                clen = first_chunk if cidx == 0 else read_chunk
                 own = nproc == 1 or cidx % nproc == pid
                 if own:
                     chunks = [
-                        readers[i].read_chunk_batch(read_chunk)
+                        readers[i].read_chunk_batch(clen)
                         for i in range(nfiles)
                     ]
                     counts = [c.B for c in chunks]
                 elif cidx == 0 and nfiles > 1:
-                    head = min(1000, read_chunk)
+                    head = min(1000, clen)
                     chunks = [
                         readers[i].read_chunk_batch(head)
                         for i in range(nfiles)
                     ]
                     counts = [
-                        c.B + (readers[i].skip_chunk(read_chunk - head)
-                               if read_chunk > head else 0)
+                        c.B + (readers[i].skip_chunk(clen - head)
+                               if clen > head else 0)
                         for i, c in enumerate(chunks)
                     ]
                 else:
                     chunks = None
                     counts = [
-                        readers[i].skip_chunk(read_chunk)
+                        readers[i].skip_chunk(clen)
                         for i in range(nfiles)
                     ]
                 chunk_q.put((cidx, chunks, counts))
