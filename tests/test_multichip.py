@@ -407,3 +407,72 @@ def test_nibble_gate_rows_identical(monkeypatch):
         out = eng.dispatch_pallas_decided(seqs, lens, np.float32(2.0), 10)
         rows[nib] = np.asarray(out)
     np.testing.assert_array_equal(rows["1"], rows["0"])
+
+
+@pytest.mark.parametrize("specs,minlen", [
+    (["P:GGGG", "B:ACGTAC,TGCATG", "R:N"], 8),
+    (["B:AC,GT", "S:TTT", "R:N"], 6),
+    (["F:NNNNNN", "R:N"], 10),
+    (["B:ACGTAC,TGCATG", "R:N", "P:TTTT"], 12),
+])
+def test_device_decisions_arch_sweep(monkeypatch, specs, minlen):
+    """Device-vs-host extraction decision equality across segment-type
+    combinations (P/S/F/B placements), with N and '.' codes in the reads —
+    the decided mode is the default production path, so every grammar the
+    host extractor handles must decide identically on device."""
+    from types import SimpleNamespace
+
+    from tagdust_tpu.arch import build_read_structure
+    from tagdust_tpu.engine import runner as R
+    from tagdust_tpu.io.batch import ReadBatch
+    from tagdust_tpu.io.fastq import Read
+    from tagdust_tpu.logsum import p2sp
+    from tagdust_tpu.model import init_model_bag
+    from tagdust_tpu.stats import SequenceStats
+
+    monkeypatch.setenv("TAGDUST_TPU_PALLAS", "1")
+    monkeypatch.setenv("TAGDUST_TPU_BT", "8")
+    monkeypatch.setenv("TAGDUST_TPU_WINDOW", "32")
+    monkeypatch.setenv("TAGDUST_TPU_STRICT", "1")
+    monkeypatch.setenv("TAGDUST_TPU_MESH", "0")
+
+    rs = build_read_structure(specs)
+    ssi = SequenceStats()
+    ssi.average_length = 26
+    ssi.max_seq_len = 40
+    ssi.background = [float(p2sp(p)) for p in (0.26, 0.24, 0.25, 0.24, 0.01)]
+    ssi.mean_5_len = ssi.stdev_5_len = -1.0
+    ssi.mean_3_len = ssi.stdev_3_len = -1.0
+    mb = init_model_bag(rs, ssi, 0.05, 0.1)
+    param = SimpleNamespace(
+        engine="tpu", rtest=False, matchstart=-1, matchend=-1,
+        minlen=minlen, dust=0, num_threads=4,
+    )
+
+    def mk_batch():
+        rng = np.random.default_rng(hash(tuple(specs)) & 0xFFFF)
+        reads = []
+        for i in range(96):
+            n = int(rng.integers(12, 36))
+            seq = rng.integers(0, 4, n).astype(np.uint8)
+            # sprinkle N (4) and '.' (5) codes — both flow through the
+            # nibble packing and the device tables
+            if i % 5 == 0 and n > 4:
+                seq[2] = 4
+            if i % 11 == 0 and n > 6:
+                seq[4] = 5
+            reads.append(Read(name=f"s{i}", seq=seq, qual="I" * n))
+        return ReadBatch.from_reads(reads)
+
+    results = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("TAGDUST_TPU_DEVICE_DECISIONS", mode)
+        b = mk_batch()
+        R.run_get_label_batch(mb, rs, b, param, 1.0)
+        results[mode] = b
+    dev, host = results["1"], results["0"]
+    np.testing.assert_array_equal(dev.read_type, host.read_type)
+    np.testing.assert_array_equal(dev.barcode, host.barcode)
+    np.testing.assert_array_equal(dev.fingerprint, host.fingerprint)
+    np.testing.assert_array_equal(dev.seq_arena, host.seq_arena)
+    np.testing.assert_array_equal(dev.qual_arena, host.qual_arena)
