@@ -192,3 +192,31 @@ def test_device_myers_matches_host():
         host = _bpm_batch(text, B4, lens)
         dev = bpm_batch_device(text, B4, lens)
         np.testing.assert_array_equal(host, dev, err_msg=f"text len {tl}")
+
+
+def test_threshold_f32_ceil_equivalence():
+    """Device compare (q_f32 >= ceil32(thr)) must equal the host compare
+    (thr_f64 <= float64(q_f32)) for every representable q — the decided
+    pipeline's pass/fail gate rests on this."""
+    import numpy as np
+
+    from tagdust_tpu.engine.tpu import TpuEngine
+
+    rng = np.random.default_rng(0)
+    for _ in range(20000):
+        thr = float(rng.uniform(0, 5))
+        t32 = TpuEngine.threshold_f32_ceil(thr)
+        m = np.float32(rng.uniform(0, 5))
+        assert (thr <= float(np.float64(m))) == bool(m >= t32), (thr, m)
+    # boundary: threshold not representable in f32, q at the neighbors
+    thr = 2.636365
+    t32 = TpuEngine.threshold_f32_ceil(thr)
+    for m in (
+        np.float32(thr),
+        np.nextafter(np.float32(thr), np.float32(-1)),
+        np.nextafter(np.float32(thr), np.float32(10)),
+    ):
+        assert (thr <= float(np.float64(m))) == bool(m >= t32), m
+    # NaN q fails both ways
+    assert not (thr <= float("nan"))
+    assert not bool(np.float32("nan") >= t32)
