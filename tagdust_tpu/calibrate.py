@@ -248,36 +248,51 @@ def estimate_q_threshold(param, rs, ssi, run_get_prob) -> float:
 
     order = np.argsort(-np.asarray([r.mapq for r in reads]), kind="stable")
 
+    # vectorised sweep (calibrateQ.c:150-212).  The loop state is pure
+    # cumulative counting, so TP/FP/TN/FN become exact-integer float64
+    # cumsums and every per-step expression is evaluated element-wise with
+    # the same operation order as the scalar loop — results are
+    # bit-identical (the RTEST gold thresholds pin this), and the 400k-step
+    # Python loop (~2 s of every default-flag run) disappears.
     readnum = len(reads)
-    thres = [1000.0, 1000.0, 1000.0, 0.0, 1000.0, 1000.0]
-    kappa = 0.0
-    for idx in order:
-        r = reads[int(idx)]
-        if r.read_type:
-            FP += 1.0
-            TN -= 1.0
-        else:
-            TP += 1.0
-            FN -= 1.0
-        sensitivity = TP / (TP + FN) if (TP + FN) else 0.0
-        specificity = TN / (TN + FP) if (TN + FP) else 0.0
-        if FP / (FP + TP) < 0.01:
-            thres[0] = r.mapq
-        elif FP / (FP + TP) < 0.05:
-            thres[1] = r.mapq
-        elif FP / (FP + TP) < 0.1:
-            thres[2] = r.mapq
-        if sensitivity + specificity > thres[3]:
-            thres[3] = specificity + sensitivity
-            thres[4] = r.mapq
-        P_e = ((TP + FN) / readnum) * ((TP + FP) / readnum) + (
-            ((FP + TN) / readnum) * ((FN + TN) / readnum)
+    rt = np.fromiter(
+        (reads[int(i)].read_type for i in order), dtype=np.float64,
+        count=readnum,
+    )
+    mq = np.fromiter(
+        (reads[int(i)].mapq for i in order), dtype=np.float64, count=readnum
+    )
+    FPv = np.cumsum(rt)
+    TPv = np.cumsum(1.0 - rt)
+    TNv = TN - FPv
+    FNv = FN - TPv
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sens = np.where(TPv + FNv != 0.0, TPv / (TPv + FNv), 0.0)
+        spec = np.where(TNv + FPv != 0.0, TNv / (TNv + FPv), 0.0)
+        fdr = FPv / (FPv + TPv)  # FP+TP >= 1 after the first step
+        P_e = ((TPv + FNv) / readnum) * ((TPv + FPv) / readnum) + (
+            ((FPv + TNv) / readnum) * ((FNv + TNv) / readnum)
         )
-        P_o = (TP + TN) / readnum
+        P_o = (TPv + TNv) / readnum
         tmp = (P_o - P_e) / (1.0 - P_e)
-        if tmp > kappa:
-            kappa = tmp
-            thres[5] = r.mapq
+
+    thres = [1000.0, 1000.0, 1000.0, 0.0, 1000.0, 1000.0]
+    m0 = fdr < 0.01
+    m1 = ~m0 & (fdr < 0.05)
+    m2 = ~m0 & ~(fdr < 0.05) & (fdr < 0.1)
+    for k, m in ((0, m0), (1, m1), (2, m2)):
+        nz = np.nonzero(m)[0]
+        if nz.size:
+            thres[k] = float(mq[nz[-1]])  # LAST step satisfying the branch
+    ss = sens + spec
+    # the scalar loop updates on strict '>', so the final value corresponds
+    # to the FIRST step attaining the global max — np.argmax's tie rule
+    i4 = int(np.argmax(ss))
+    thres[3] = float(spec[i4] + sens[i4])
+    thres[4] = float(mq[i4])
+    i5 = int(np.argmax(tmp))
+    if float(tmp[i5]) > 0.0:
+        thres[5] = float(mq[i5])
 
     if thres[4] < 20:
         return float(_F32(thres[4]))
