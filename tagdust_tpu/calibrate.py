@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass
 from typing import List
 
 import numpy as np
@@ -35,13 +34,6 @@ from .model import ModelBag, init_model_bag
 from .rng import CRand
 
 _F32 = np.float32
-
-
-@dataclass
-class EmittedRead:
-    seq: np.ndarray
-    read_type: int  # 0 = from model, 1 = random
-    mapq: float = 0.0
 
 
 def emit_random_sequence(mb: ModelBag, rng: CRand, average_length: int) -> np.ndarray:
@@ -191,7 +183,10 @@ def estimate_q_threshold(param, rs, ssi, run_get_prob) -> float:
             m.silent_to_M[m.num_hmms - 1, 0] = NEG_INF
 
     avg_len = int(ssi.average_length)
-    reads: List[EmittedRead] = []
+    # parallel arrays instead of 400k EmittedRead objects: seqs (list of
+    # code arrays) + rt (read_type per seq) — the sweep and the scorer
+    # both consume arrays, so no per-read Python objects exist at all
+    seqs: List[np.ndarray] = []
     flat = None
     if os.environ.get("TAGDUST_TPU_NO_NATIVE") != "1":
         try:
@@ -213,40 +208,38 @@ def estimate_q_threshold(param, rs, ssi, run_get_prob) -> float:
         # per-read ctypes round trips used to cost ~24s of every
         # default-flag run; the LCG draw order is identical
         state = int(rng.next)
-        state, seqs = flat.emit_read_batch(state, avg_len, binsize * 2)
-        reads.extend(EmittedRead(s, 0) for s in seqs)
-        state, seqs = flat.emit_random_batch(
-            state, avg_len, min(binsize * 2, num_test - len(reads))
+        state, model_seqs = flat.emit_read_batch(state, avg_len, binsize * 2)
+        seqs.extend(model_seqs)
+        n_model = len(seqs)
+        state, rand_seqs = flat.emit_random_batch(
+            state, avg_len, min(binsize * 2, num_test - len(seqs))
         )
-        reads.extend(EmittedRead(s, 1) for s in seqs)
+        seqs.extend(rand_seqs)
         rng.next = np.uint32(state)
     else:
         for _ in range(binsize * 2):
-            reads.append(EmittedRead(emit_read_sequence(mb, rng, avg_len), 0))
+            seqs.append(emit_read_sequence(mb, rng, avg_len))
+        n_model = len(seqs)
         for _ in range(binsize * 2):
-            reads.append(EmittedRead(emit_random_sequence(mb, rng, avg_len), 1))
-            if len(reads) == num_test:
+            seqs.append(emit_random_sequence(mb, rng, avg_len))
+            if len(seqs) == num_test:
                 break
+    rt = np.zeros(len(seqs), dtype=np.float64)
+    rt[n_model:] = 1.0  # 1 = random-model read
 
-    TP = FP = 0.0
-    TN = float(sum(1 for r in reads if r.read_type == 1))
-    FN = float(sum(1 for r in reads if r.read_type == 0))
+    TN = float(len(seqs) - n_model)
+    FN = float(n_model)
 
     # rebuild a clean model; grow if emitted sequences exceed max_seq_len
     # (calibrateQ.c:115-134)
-    grow = False
-    for r in reads:
-        if len(r.seq) >= ssi.max_seq_len:
-            ssi.max_seq_len = len(r.seq)
-            grow = True
+    max_emitted = max((s.shape[0] for s in seqs), default=0)
+    if max_emitted >= ssi.max_seq_len:
+        ssi.max_seq_len = max_emitted
     mb = init_model_bag(rs, ssi, param.sequencer_error_rate, param.indel_frequency)
-    del grow  # the rebuild above already uses the updated max_seq_len
 
-    mapq = run_get_prob(mb, [r.seq for r in reads])
-    for r, q in zip(reads, mapq):
-        r.mapq = float(q)
+    mapq = np.asarray(run_get_prob(mb, seqs), dtype=np.float64)
 
-    order = np.argsort(-np.asarray([r.mapq for r in reads]), kind="stable")
+    order = np.argsort(-mapq, kind="stable")
 
     # vectorised sweep (calibrateQ.c:150-212).  The loop state is pure
     # cumulative counting, so TP/FP/TN/FN become exact-integer float64
@@ -254,16 +247,11 @@ def estimate_q_threshold(param, rs, ssi, run_get_prob) -> float:
     # the same operation order as the scalar loop — results are
     # bit-identical (the RTEST gold thresholds pin this), and the 400k-step
     # Python loop (~2 s of every default-flag run) disappears.
-    readnum = len(reads)
-    rt = np.fromiter(
-        (reads[int(i)].read_type for i in order), dtype=np.float64,
-        count=readnum,
-    )
-    mq = np.fromiter(
-        (reads[int(i)].mapq for i in order), dtype=np.float64, count=readnum
-    )
-    FPv = np.cumsum(rt)
-    TPv = np.cumsum(1.0 - rt)
+    readnum = len(seqs)
+    rt_s = rt[order]
+    mq = mapq[order]
+    FPv = np.cumsum(rt_s)
+    TPv = np.cumsum(1.0 - rt_s)
     TNv = TN - FPv
     FNv = FN - TPv
     with np.errstate(divide="ignore", invalid="ignore"):

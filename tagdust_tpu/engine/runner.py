@@ -787,7 +787,37 @@ def run_get_prob(
 
     With ``engine_kind='tpu'`` the threshold is calibrated on the same
     scoring function production uses (and the 400k-read sweep runs on
-    device)."""
+    device), straight from the sequence arrays — no per-read Python
+    objects on the 400k-read default path."""
+    if engine_kind == "tpu":
+        return _score_seq_arrays_tpu(mb, seq_list)
     reads = [Read(seq=s) for s in seq_list]
     score_reads(mb, reads, want_labels=False, engine_kind=engine_kind)
     return np.array([r.mapq for r in reads], dtype=np.float32)
+
+
+def _score_seq_arrays_tpu(mb, seq_list) -> np.ndarray:
+    """Array-native GET_PROB: the length-bucketed device sweep of
+    `_score_reads_tpu` without `Read` object wrappers (scores only)."""
+    B = len(seq_list)
+    if not B:
+        return np.zeros(0, dtype=np.float32)
+    eng = get_engine(mb, "tpu")
+    lens = np.fromiter(
+        (s.shape[0] for s in seq_list), dtype=np.int32, count=B
+    )
+    ladder = _choose_rungs(lens)
+    bucket_of = np.searchsorted(np.asarray(ladder), lens)
+    mapq_out = np.empty(B, dtype=np.float32)
+    for b, Lp in enumerate(ladder):
+        idxs = np.nonzero(bucket_of == b)[0]
+        if idxs.size == 0:
+            continue
+        sq = np.zeros((idxs.size, Lp), dtype=np.uint8)
+        for bi, i in enumerate(idxs):
+            s = seq_list[int(i)]
+            sq[bi, : s.shape[0]] = s
+        pseqs, plens = _pad_tpu_batch(sq, lens[idxs])
+        res = score_arrays_tpu(eng, pseqs, plens, want_labels=False)
+        mapq_out[idxs] = res.mapq[: idxs.size]
+    return mapq_out
